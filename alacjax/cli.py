@@ -1,0 +1,75 @@
+"""alacconvert-compatible CLI (reference: convert-utility/main.cpp).
+
+Usage:
+    python -m alacjax.cli input.wav output.caf [options]
+    python -m alacjax.cli input.caf output.wav [options]
+
+Direction is inferred from the file extensions, exactly like the
+reference's ``alacconvert``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .types import AlacError
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="alacconvert",
+        description="Apple Lossless converter (TPU-native rebuild). "
+                    "WAV->CAF encodes; CAF->WAV decodes.",
+    )
+    p.add_argument("input", help="input file (.wav or .caf)")
+    p.add_argument("output", help="output file (.caf or .wav)")
+    p.add_argument("--frame-size", type=int, default=4096, metavar="N",
+                   help="samples per packet (default 4096)")
+    p.add_argument("--fast", action="store_true",
+                   help="fast mode: skip the encoder parameter search")
+    p.add_argument("--independent-frames", action="store_true",
+                   help="reset predictor state each packet "
+                        "(enables packet-parallel encode)")
+    p.add_argument("--backend", choices=("oracle", "jax"), default=None,
+                   help="packet codec backend (default: jax if usable, "
+                        "else oracle)")
+    p.add_argument("--verbose", "-v", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    backend = args.backend
+    if backend is None:
+        try:
+            from .convert import get_backend
+            get_backend("jax")
+            backend = "jax"
+        except Exception:
+            backend = "oracle"
+
+    from .convert import convert_file
+    try:
+        convert_file(
+            args.input, args.output,
+            frame_length=args.frame_size,
+            fast_mode=args.fast,
+            independent_frames=args.independent_frames,
+            backend=backend,
+        ) if args.input.lower().endswith(".wav") else convert_file(
+            args.input, args.output, backend=backend)
+    except AlacError as e:
+        print(f"alacconvert: {e}", file=sys.stderr)
+        return abs(e.status) % 256 or 1
+    except OSError as e:
+        print(f"alacconvert: {e}", file=sys.stderr)
+        return 1
+    if args.verbose:
+        print(f"{args.input} -> {args.output} [backend={backend}]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,126 @@
+"""High-level file conversion: WAV <-> CAF/ALAC.
+
+Rebuild of the reference CLI's encode/decode loops (convert-utility/
+main.cpp; SURVEY.md §3.1/§3.2), with a pluggable packet-codec backend:
+'oracle' (scalar host reference) or 'jax' (batched TPU path, registered by
+alacjax.codec when imported).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .containers.caf import CafFile, read_caf, write_caf
+from .containers.pcm import pack_pcm, unpack_pcm
+from .containers.wav import WavFile, read_wav, write_wav
+from .cookie import parse_cookie
+from .oracle import ALACDecoder, ALACEncoder
+from .types import AlacConfig, AlacParamError
+
+_BACKENDS: dict[str, tuple] = {}
+
+
+def register_backend(name: str, encode_stream, decode_stream) -> None:
+    """Register a packet-codec backend.
+
+    encode_stream(config, pcm (C,N) int64) -> list[bytes] packets
+    decode_stream(config, packets, num_valid_frames) -> pcm (C,N) int64
+    """
+    _BACKENDS[name] = (encode_stream, decode_stream)
+
+
+def _oracle_encode_stream(config: AlacConfig, pcm: np.ndarray) -> list[bytes]:
+    enc = ALACEncoder(config)
+    packets = []
+    n = pcm.shape[1]
+    for off in range(0, n, config.frame_length):
+        packets.append(enc.encode_packet(pcm[:, off:off + config.frame_length]))
+    return packets
+
+
+def _oracle_decode_stream(config: AlacConfig, packets, num_valid_frames: int) -> np.ndarray:
+    dec = ALACDecoder(config)
+    out = []
+    remaining = num_valid_frames
+    for pkt in packets:
+        want = min(config.frame_length, remaining)
+        y, got = dec.decode_packet(
+            pkt, num_samples=want if want != config.frame_length else None)
+        out.append(y[:, :got])
+        remaining -= got
+    return np.concatenate(out, axis=1) if out else np.zeros(
+        (config.num_channels, 0), dtype=np.int64)
+
+
+register_backend("oracle", _oracle_encode_stream, _oracle_decode_stream)
+
+
+def get_backend(name: str):
+    if name == "jax" and "jax" not in _BACKENDS:
+        from . import codec  # noqa: F401  — registers the 'jax' backend
+    if name not in _BACKENDS:
+        raise AlacParamError(f"unknown backend {name!r} (have {sorted(_BACKENDS)})")
+    return _BACKENDS[name]
+
+
+def encode_wav_to_caf(wav: WavFile, frame_length: int = 4096,
+                      fast_mode: bool = False, backend: str = "oracle",
+                      independent_frames: bool = False) -> CafFile:
+    config = AlacConfig(
+        frame_length=frame_length, bit_depth=wav.bit_depth,
+        num_channels=wav.num_channels, sample_rate=wav.sample_rate,
+        fast_mode=fast_mode,
+    )
+    pcm = unpack_pcm(wav.data, wav.bit_depth, wav.num_channels)
+    encode_stream, _ = get_backend(backend)
+    if backend == "oracle" and independent_frames:
+        enc = ALACEncoder(config, independent_frames=True)
+        packets = [enc.encode_packet(pcm[:, o:o + frame_length])
+                   for o in range(0, pcm.shape[1], frame_length)]
+    else:
+        packets = encode_stream(config, pcm)
+
+    # stats for the cookie (maxFrameBytes / avgBitRate like the reference)
+    import dataclasses
+    n = pcm.shape[1]
+    total = sum(map(len, packets))
+    cfg_out = dataclasses.replace(
+        config,
+        max_frame_bytes=max(map(len, packets)) if packets else 0,
+        avg_bit_rate=int(total * 8 * wav.sample_rate // n) if n else 0,
+    )
+    from .cookie import serialize_cookie
+    return CafFile(
+        sample_rate=wav.sample_rate, bit_depth=wav.bit_depth,
+        num_channels=wav.num_channels, frames_per_packet=frame_length,
+        cookie=serialize_cookie(cfg_out), packets=packets,
+        num_valid_frames=n,
+    )
+
+
+def decode_caf_to_wav(caf: CafFile, backend: str = "oracle") -> WavFile:
+    config = parse_cookie(caf.cookie)
+    if config.num_channels != caf.num_channels:
+        raise AlacParamError("cookie/desc channel count mismatch")
+    _, decode_stream = get_backend(backend)
+    pcm = decode_stream(config, caf.packets, caf.num_valid_frames)
+    if pcm.shape[1] > caf.num_valid_frames:
+        pcm = pcm[:, :caf.num_valid_frames]
+    return WavFile(
+        sample_rate=caf.sample_rate, bit_depth=caf.bit_depth,
+        num_channels=caf.num_channels,
+        data=pack_pcm(pcm, caf.bit_depth),
+    )
+
+
+def convert_file(in_path: str, out_path: str, **kw) -> None:
+    """alacconvert-compatible: direction inferred from extensions."""
+    lo_in, lo_out = in_path.lower(), out_path.lower()
+    if lo_in.endswith(".wav") and lo_out.endswith(".caf"):
+        write_caf(encode_wav_to_caf(read_wav(in_path), **kw), out_path)
+    elif lo_in.endswith(".caf") and lo_out.endswith(".wav"):
+        backend = kw.get("backend", "oracle")
+        write_wav(decode_caf_to_wav(read_caf(in_path), backend=backend), out_path)
+    else:
+        raise AlacParamError(
+            "unsupported conversion (need in.wav -> out.caf or in.caf -> out.wav)")
