@@ -1,0 +1,479 @@
+"""Batched TPU codec pipeline — the device-side ALACEncoder/ALACDecoder.
+
+This is the performance path (SURVEY.md §7): whole batches of frames
+encode/decode in parallel on one chip.  Per frame-lane it reproduces the
+oracle bit-for-bit (tests assert byte-identical packets), with one
+deliberate policy difference: the device encoder always runs in
+*independent-frames* mode (predictor coefficient banks reset per packet,
+matching ``ALACEncoder(config, independent_frames=True)``) so that packets
+carry no cross-packet state and the whole stream is data-parallel.  The
+bitstream stays fully standard — every packet transmits its own starting
+coefficients.
+
+Encode dataflow (one jit program per (B, S, config)):
+  mix (5 mixres candidates) -> predictor scan over stacked
+  (candidates x B) lanes -> Rice cost scan -> per-frame argmin ->
+  Rice token scan on winning residuals -> element token concat
+  (headers/coefs/shift/rice/END/align) -> per-element escape select ->
+  prefix-sum + word scatter -> (B, W) word image -> host bytes.
+
+Decode dataflow:
+  host packet bytes -> (B, W) word image -> device header field reads ->
+  Rice cursor scans (channels chained by end-position) -> predictor
+  scans -> unmix/shift -> (B, C, S) PCM.  Frames whose headers use
+  features outside the device fast path (partial frames, DSE/FIL,
+  17..30-tap predictors, mismatched layouts) raise a per-lane error flag
+  and fall back to the scalar oracle on host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .containers.pcm import bytes_per_sample
+from .oracle import ALACDecoder as OracleDecoder
+from .oracle import ALACEncoder as OracleEncoder
+from .oracle.encoder import (
+    DEFAULT_MIX_BITS, FAST_MIX_RES, FAST_ORDER, MAX_RES, PB_FACTOR,
+    SEARCH_ORDERS, bytes_shifted_for_depth,
+)
+from .oracle import dp as oracle_dp
+from .ops import bitpack, matrix, predict, rice
+from .ops.jaxutils import I32, U32, sign_extend
+from .types import (
+    DENSHIFT_DEFAULT, ElementTag, AlacConfig, AlacParamError,
+    kALACMaxCoefs,
+)
+
+DEFAULT_CHUNK = 256  # frames per jit invocation (padded; 2 compiles/config)
+
+
+# ---------------------------------------------------------------------------
+# token-building helpers (encode)
+# ---------------------------------------------------------------------------
+def _const_tokens(B, vals_lens):
+    """Broadcast a python list of (value, nbits) into (B, T) token arrays."""
+    v = jnp.asarray([v for v, _ in vals_lens], dtype=U32)
+    l = jnp.asarray([l for _, l in vals_lens], dtype=I32)
+    return (jnp.broadcast_to(v, (B, len(vals_lens))),
+            jnp.broadcast_to(l, (B, len(vals_lens))))
+
+
+def _header23(tag, instance, bytes_shifted, escape):
+    return (int(tag) << 20) | (instance << 16) | (bytes_shifted << 1) | int(escape)
+
+
+def _chparam_token(order):
+    """(mode=0,denshift)<<8 | (pbFactor<<5|order) — per-lane order array."""
+    hi = jnp.uint32((0 << 4 | DENSHIFT_DEFAULT) << 8 | (PB_FACTOR << 5))
+    return hi | order.astype(U32)
+
+
+def _coef_tokens(coefs, order):
+    """(B,16) coef values + per-lane order -> 16 token slots."""
+    B = coefs.shape[0]
+    vals = coefs.astype(I32).astype(U32) & jnp.uint32(0xFFFF)
+    ks = jnp.arange(kALACMaxCoefs, dtype=I32)[None, :]
+    lens = jnp.where(ks < order[:, None], 16, 0).astype(I32)
+    return vals, lens
+
+
+def _interleave2(a, b):
+    """(B,S),(B,S) -> (B,2S) interleaved a0,b0,a1,b1,..."""
+    B, S = a.shape
+    return jnp.stack([a, b], axis=-1).reshape(B, 2 * S)
+
+
+def _rice_params_static(config: AlacConfig):
+    pb = (config.pb * PB_FACTOR) // 4
+    return config.mb, pb, config.kb, (1 << config.kb) - 1
+
+
+def _init_coefs_batched(B):
+    c0 = np.asarray(oracle_dp.init_coefs(DENSHIFT_DEFAULT), dtype=np.int32)
+    return jnp.broadcast_to(jnp.asarray(c0), (B, kALACMaxCoefs))
+
+
+def _candidate_search(chans, chanbits, config, is_cpe):
+    """Run the (mixres x order) trial grid for one element.
+
+    chans: list of (B, S) high-part channel arrays (1 for SCE, 2 for CPE).
+    Returns (per-channel winning residuals, winning coefs0, order (B,),
+    mixres (B,), body_bits (B,) = coef+rice bits of the winner).
+    """
+    B, S = chans[0].shape
+    mb0, pb, kb, wb = _rice_params_static(config)
+
+    if config.fast_mode:
+        mix_list = [FAST_MIX_RES] if is_cpe else [0]
+        orders = [FAST_ORDER]
+    else:
+        mix_list = list(range(MAX_RES + 1)) if is_cpe else [0]
+        orders = list(SEARCH_ORDERS)
+    # candidate enumeration order must match the oracle: mixres outer,
+    # order inner, first minimum wins
+    cands = [(mr, od) for mr in mix_list for od in orders]
+    C = len(cands)
+
+    if is_cpe:
+        mixed = {mr: matrix.mix(chans[0], chans[1], DEFAULT_MIX_BITS, mr)
+                 for mr in mix_list}
+        stacks = [jnp.concatenate([mixed[mr][ci] for mr, _ in cands], axis=0)
+                  for ci in range(2)]
+    else:
+        stacks = [jnp.concatenate([chans[0]] * C, axis=0)]
+
+    na = jnp.concatenate(
+        [jnp.full((B,), od, dtype=I32) for _, od in cands], axis=0)
+    coefs0 = _init_coefs_batched(C * B)
+
+    res_list, cost = [], jnp.zeros((C * B,), dtype=I32)
+    for st in stacks:
+        res, _ = predict.pc_block(st, coefs0, na, chanbits, DENSHIFT_DEFAULT)
+        res_list.append(res)
+        cost = cost + rice.rice_cost(res, chanbits, mb0, pb, kb, wb)
+    cost = cost + 16 * na * len(stacks)      # transmitted coef bits
+
+    cost_cb = cost.reshape(C, B)
+    win = jnp.argmin(cost_cb, axis=0)        # first minimum wins ties
+    body_bits = jnp.take_along_axis(cost_cb, win[None, :], axis=0)[0]
+
+    def pick(arr_cb):
+        return jnp.take_along_axis(
+            arr_cb.reshape(C, B, S), win[None, :, None], axis=0)[0]
+
+    res_win = [pick(r) for r in res_list]
+    order_win = jnp.asarray([od for _, od in cands], dtype=I32)[win]
+    mixres_win = jnp.asarray([mr for mr, _ in cands], dtype=I32)[win]
+    return res_win, order_win, mixres_win, body_bits
+
+
+def _encode_element_tokens(pcm_elem, tag, instance, config: AlacConfig):
+    """Token arrays for one element over the batch, with per-frame escape.
+
+    pcm_elem: list of (B, S) planar channel arrays (right-aligned at
+    bit_depth).  Returns (vals (B, T), lens (B, T)).
+    """
+    B, S = pcm_elem[0].shape
+    nch = len(pcm_elem)
+    is_cpe = nch == 2
+    depth = config.bit_depth
+    bs = bytes_shifted_for_depth(depth)
+    chanbits = depth - 8 * bs + (1 if is_cpe else 0)
+    mb0, pb, kb, wb = _rice_params_static(config)
+
+    his, los = [], []
+    for ch in pcm_elem:
+        hi, lo = matrix.shift_off(ch, bs)
+        his.append(hi)
+        los.append(lo)
+
+    res_win, order_win, mixres_win, body_bits = _candidate_search(
+        his, chanbits, config, is_cpe)
+
+    # ---- compressed token stream ----
+    parts_v, parts_l = [], []
+    hdr = jnp.full((B,), _header23(tag, instance, bs, False), dtype=U32)
+    parts_v.append(hdr[:, None]); parts_l.append(jnp.full((B, 1), 23, I32))
+    if is_cpe:
+        mixtok = (jnp.uint32(DEFAULT_MIX_BITS << 8)
+                  | (mixres_win.astype(U32) & 0xFF))
+        parts_v.append(mixtok[:, None]); parts_l.append(jnp.full((B, 1), 16, I32))
+    coefs0 = _init_coefs_batched(B)
+    for _ in range(nch):
+        parts_v.append(_chparam_token(order_win)[:, None])
+        parts_l.append(jnp.full((B, 1), 16, I32))
+        cv, cl = _coef_tokens(coefs0, order_win)
+        parts_v.append(cv); parts_l.append(cl)
+    if bs:
+        sh = _interleave2(los[0], los[1]) if is_cpe else los[0]
+        parts_v.append(sh.astype(U32))
+        parts_l.append(jnp.full(sh.shape, 8 * bs, I32))
+    for res in res_win:
+        tv, tl = rice.rice_encode_tokens(res, chanbits, mb0, pb, kb, wb)
+        parts_v.append(tv); parts_l.append(tl)
+    vals_c = jnp.concatenate(parts_v, axis=1)
+    lens_c = jnp.concatenate(parts_l, axis=1)
+    T = vals_c.shape[1]
+
+    # ---- escape token stream (padded to T) ----
+    ehdr = jnp.full((B,), _header23(tag, instance, 0, True), dtype=U32)
+    raw = _interleave2(pcm_elem[0], pcm_elem[1]) if is_cpe else pcm_elem[0]
+    mask = jnp.uint32((1 << depth) - 1) if depth < 32 else jnp.uint32(0xFFFFFFFF)
+    ev = jnp.concatenate([ehdr[:, None], raw.astype(I32).astype(U32) & mask],
+                         axis=1)
+    el = jnp.concatenate([jnp.full((B, 1), 23, I32),
+                          jnp.full(raw.shape, depth, I32)], axis=1)
+    pad = T - ev.shape[1]
+    vals_e = jnp.pad(ev, ((0, 0), (0, pad)))
+    lens_e = jnp.pad(el, ((0, 0), (0, pad)))
+
+    escape_bits = nch * S * depth
+    total_c = jnp.sum(lens_c, axis=1)
+    use_escape = total_c >= (23 + escape_bits)
+    vals = jnp.where(use_escape[:, None], vals_e, vals_c)
+    lens = jnp.where(use_escape[:, None], lens_e, lens_c)
+    return vals, lens
+
+
+def encode_frames_device(pcm, config: AlacConfig, num_words: int):
+    """Jit core: (B, C, S) planar int32 -> ((B, W) words, (B,) total_bits)."""
+    B = pcm.shape[0]
+    parts_v, parts_l = [], []
+    ch = 0
+    tag_counters = {}
+    for tag, width in config.elements:
+        instance = tag_counters.get(int(tag), 0)
+        tag_counters[int(tag)] = instance + 1
+        chans = [pcm[:, ch + i, :] for i in range(width)]
+        v, l = _encode_element_tokens(chans, tag, instance, config)
+        parts_v.append(v); parts_l.append(l)
+        ch += width
+
+    end_v, end_l = _const_tokens(B, [(int(ElementTag.END), 3)])
+    parts_v.append(end_v); parts_l.append(end_l)
+    vals = jnp.concatenate(parts_v, axis=1)
+    lens = jnp.concatenate(parts_l, axis=1)
+
+    # byte-align pad token (value 0, data-dependent length)
+    total = jnp.sum(lens, axis=1)
+    pad = (-total) % 8
+    vals = jnp.concatenate([vals, jnp.zeros((B, 1), U32)], axis=1)
+    lens = jnp.concatenate([lens, pad[:, None].astype(I32)], axis=1)
+
+    return bitpack.assemble(vals, lens, num_words)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+def _extract_samples(words, base_bits, count: int, stride_bits, width_bits):
+    """Vectorized field array read: sample j at base + j*stride, ``width``
+    bits each.  All of base/stride/width may be per-lane (B,) arrays."""
+    j = jnp.arange(count, dtype=I32)[None, :]
+    pos = base_bits[:, None] + j * (stride_bits[:, None]
+                                    if hasattr(stride_bits, "ndim")
+                                    else stride_bits)
+    return rice._read_bits(words, pos, width_bits[:, None]
+                           if hasattr(width_bits, "ndim") else width_bits)
+
+
+def _decode_channel_params(words, bitpos):
+    ph = rice._read_bits(words, bitpos, 16)
+    mode = (ph >> 12) & 0xF
+    den = ((ph >> 8) & 0xF).astype(I32)
+    pbf = ((ph >> 5) & 0x7).astype(I32)
+    order = (ph & 0x1F).astype(I32)
+    bitpos = bitpos + 16
+    cv = _extract_samples(words, bitpos, kALACMaxCoefs, 16, 16)
+    coefs = sign_extend(cv.astype(I32), 16)
+    bitpos = bitpos + 16 * order
+    err = ((order > kALACMaxCoefs) & (order != 31)) | (
+        (den == 0) & (order != 0) & (order != 31))
+    return (mode.astype(I32), den, pbf, order, coefs), bitpos, err
+
+
+def _unpredict(res, coefs, mode, order, chanbits, den):
+    """mode != 0: undo first-difference stage, then the FIR stage."""
+    stage1 = predict._mode31(res, chanbits, decode=True)
+    res2 = jnp.where((mode != 0)[:, None], stage1, res)
+    out, _ = predict.unpc_block(res2, coefs, order, chanbits, den)
+    return out
+
+
+def decode_frames_device(words, config: AlacConfig, num_samples: int):
+    """Jit core: (B, W) word image -> ((B, C, S) pcm, (B,) err flags)."""
+    B = words.shape[0]
+    S = num_samples
+    depth = config.bit_depth
+    mb0 = config.mb
+    kb = config.kb
+    wb = (1 << kb) - 1
+
+    out_ch = []
+    bitpos = jnp.zeros((B,), dtype=I32)
+    err = jnp.zeros((B,), dtype=bool)
+
+    for tag, width in config.elements:
+        is_cpe = width == 2
+        hdr = rice._read_bits(words, bitpos, 23)
+        rtag = (hdr >> 20).astype(I32)
+        unused = (hdr >> 4) & 0xFFF
+        partial = (hdr >> 3) & 1
+        bs = ((hdr >> 1) & 3).astype(I32)
+        esc = (hdr & 1).astype(bool)
+        err = err | (rtag != int(tag)) | (unused != 0) | (partial != 0) | (bs == 3)
+        bitpos = bitpos + 23
+        pos_esc = bitpos
+
+        chanbits = depth - 8 * bs + (1 if is_cpe else 0)
+
+        if is_cpe:
+            mixtok = rice._read_bits(words, bitpos, 16)
+            mixbits_f = (mixtok >> 8).astype(I32)
+            mixres_f = sign_extend((mixtok & 0xFF).astype(I32), 8)
+            bitpos = bitpos + jnp.where(esc, 0, 16)
+            # escape lanes: neutralize header-dependent values
+            mixbits_f = jnp.where(esc, 0, mixbits_f)
+            mixres_f = jnp.where(esc, 0, mixres_f)
+
+        params = []
+        for _ in range(width):
+            p, bitpos_n, perr = _decode_channel_params(words, bitpos)
+            bitpos = jnp.where(esc, bitpos, bitpos_n)
+            err = err | (~esc & perr)
+            params.append(p)
+
+        pos_shift = bitpos
+        shift_bits_total = width * S * 8 * bs
+        bitpos = bitpos + jnp.where(esc, 0, shift_bits_total)
+
+        res_ch, recon = [], []
+        for ci in range(width):
+            mode, den, pbf, order, coefs = params[ci]
+            pb_lane = (config.pb * pbf) // 4
+            res, bitpos_n, rerr = rice.rice_decode(
+                words, bitpos, S, chanbits, mb0, pb_lane, kb, wb)
+            bitpos = jnp.where(esc, bitpos, bitpos_n)
+            err = err | (~esc & rerr)
+            recon.append(_unpredict(res, coefs, mode, order, chanbits, den))
+
+        # shift side-channel re-insert
+        outs = []
+        for ci in range(width):
+            base = pos_shift + ci * 8 * bs
+            sv = _extract_samples(words, base, S, width * 8 * bs, 8 * bs)
+            outs.append((recon[ci], sv.astype(I32)))
+
+        if is_cpe:
+            l, r = matrix.unmix(outs[0][0], outs[1][0],
+                                mixbits_f[:, None], mixres_f[:, None])
+            dec = [matrix.shift_in(l, outs[0][1], bs[:, None]),
+                   matrix.shift_in(r, outs[1][1], bs[:, None])]
+        else:
+            dec = [matrix.shift_in(outs[0][0], outs[0][1], bs[:, None])]
+
+        # escape lanes: raw samples at static stride from pos_esc
+        esc_end = pos_esc + width * S * depth
+        for ci in range(width):
+            raw = _extract_samples(words, pos_esc + ci * depth, S,
+                                   width * depth, depth)
+            raw = sign_extend(raw.astype(I32), depth)
+            out_ch.append(jnp.where(esc[:, None], raw, dec[ci]))
+        bitpos = jnp.where(esc, esc_end, bitpos)
+
+    pcm = jnp.stack(out_ch, axis=1)
+    return pcm, err
+
+
+# ---------------------------------------------------------------------------
+# host orchestration: stream backend
+# ---------------------------------------------------------------------------
+class JaxCodec:
+    """Compiled batched codec for one AlacConfig (+ frame batch size)."""
+
+    def __init__(self, config: AlacConfig, chunk: int = DEFAULT_CHUNK):
+        self.config = config
+        self.chunk = chunk
+        S = config.frame_length
+        self.num_words = (config.max_escape_packet_bytes(S) + 3) // 4 + 2
+        self._encode = jax.jit(functools.partial(
+            encode_frames_device, config=config, num_words=self.num_words))
+        self._decode = jax.jit(functools.partial(
+            decode_frames_device, config=config, num_samples=S))
+
+    # -- encode ---------------------------------------------------------
+    def encode_frames(self, pcm: np.ndarray) -> list[bytes]:
+        """(nf, C, S) planar int -> list of nf packets."""
+        nf = pcm.shape[0]
+        packets = []
+        for off in range(0, nf, self.chunk):
+            block = pcm[off:off + self.chunk]
+            n = block.shape[0]
+            if n < self.chunk:
+                block = np.concatenate(
+                    [block, np.zeros((self.chunk - n,) + block.shape[1:],
+                                     dtype=block.dtype)], axis=0)
+            words, bits = self._encode(jnp.asarray(block.astype(np.int32)))
+            packets.extend(bitpack.words_to_bytes(
+                np.asarray(words)[:n], np.asarray(bits)[:n]))
+        return packets
+
+    # -- decode ---------------------------------------------------------
+    def decode_frames(self, packets: list[bytes]) -> np.ndarray:
+        """list of full-frame packets -> (nf, C, S) planar int32."""
+        cfg = self.config
+        nf = len(packets)
+        out = np.zeros((nf, cfg.num_channels, cfg.frame_length), dtype=np.int64)
+        for off in range(0, nf, self.chunk):
+            blk = packets[off:off + self.chunk]
+            n = len(blk)
+            padded = blk + [b""] * (self.chunk - n)
+            words = bitpack.bytes_to_words(padded, self.num_words)
+            pcm, err = self._decode(jnp.asarray(words))
+            pcm = np.asarray(pcm)[:n]
+            err = np.asarray(err)[:n]
+            out[off:off + n] = pcm
+            if err.any():
+                dec = OracleDecoder(cfg)
+                for i in np.nonzero(err)[0]:
+                    y, got = dec.decode_packet(blk[i])
+                    if got != cfg.frame_length:
+                        raise AlacParamError("unexpected partial frame")
+                    out[off + i] = y
+        return out
+
+
+_CODEC_CACHE: dict[tuple, JaxCodec] = {}
+
+
+def get_codec(config: AlacConfig, chunk: int = DEFAULT_CHUNK) -> JaxCodec:
+    key = (config, chunk)
+    if key not in _CODEC_CACHE:
+        _CODEC_CACHE[key] = JaxCodec(config, chunk)
+    return _CODEC_CACHE[key]
+
+
+def _jax_encode_stream(config: AlacConfig, pcm: np.ndarray) -> list[bytes]:
+    """convert.py backend: planar (C, N) -> packets (device for full
+    frames, oracle for the partial tail)."""
+    S = config.frame_length
+    N = pcm.shape[1]
+    nf = N // S
+    packets = []
+    if nf:
+        frames = np.transpose(
+            pcm[:, : nf * S].reshape(pcm.shape[0], nf, S), (1, 0, 2))
+        packets = get_codec(config).encode_frames(frames)
+    if N % S:
+        enc = OracleEncoder(config, independent_frames=True)
+        packets.append(enc.encode_packet(pcm[:, nf * S:]))
+    return packets
+
+
+def _jax_decode_stream(config: AlacConfig, packets, num_valid_frames: int) -> np.ndarray:
+    S = config.frame_length
+    n_full = num_valid_frames // S
+    n_full = min(n_full, len(packets))
+    out = np.zeros((config.num_channels, num_valid_frames), dtype=np.int64)
+    if n_full:
+        pcm = get_codec(config).decode_frames(list(packets[:n_full]))
+        out[:, : n_full * S] = np.transpose(pcm, (1, 0, 2)).reshape(
+            config.num_channels, n_full * S)
+    rem = num_valid_frames - n_full * S
+    if rem:
+        if len(packets) <= n_full:
+            raise AlacParamError("missing packets for trailing samples")
+        dec = OracleDecoder(config)
+        y, got = dec.decode_packet(packets[n_full], num_samples=rem)
+        out[:, n_full * S:] = y[:, :rem]
+    return out
+
+
+from . import convert as _convert  # noqa: E402  (registration at import)
+
+_convert.register_backend("jax", _jax_encode_stream, _jax_decode_stream)

@@ -1,0 +1,92 @@
+"""Vectorized bitstream assembly: token streams -> packed uint32 words.
+
+This is the TPU-native replacement for the reference's bit-serial
+BitBuffer writes (SURVEY.md §5/§7): an exclusive prefix-sum over token
+bit-lengths yields every token's absolute bit offset; each token then
+contributes to at most two 32-bit words (value split by the offset's
+word phase), and the contributions combine with a scatter-add — bit
+regions are disjoint, so add == or, and XLA's scatter-add vectorizes.
+
+Word images are big-endian bit order: bit 0 of the stream is the MSB of
+word 0 (byte serialization is words.astype('>u4')).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .jaxutils import I32, U32
+
+
+def assemble(vals, lens, num_words: int):
+    """Pack per-frame token streams into word images.
+
+    vals: (B, T) uint32 token values (low ``lens`` bits significant)
+    lens: (B, T) int32 token bit lengths (0 = empty slot), each <= 32
+    num_words: static output width W (bits capacity = 32*W)
+
+    Returns (words (B, W) uint32, total_bits (B,) int32).
+    """
+    vals = vals.astype(U32)
+    lens = lens.astype(I32)
+    B, T = vals.shape
+
+    offs = jnp.cumsum(lens, axis=1) - lens          # exclusive prefix sum
+    total_bits = offs[:, -1] + lens[:, -1]
+
+    L = lens.astype(U32)
+    nonempty = lens > 0
+    # mask values to their declared width (defensive: callers may leave
+    # garbage above bit L-1 in masked-off lanes)
+    lc = jnp.minimum(L, jnp.uint32(31))
+    mask = jnp.where(L >= 32, jnp.uint32(0xFFFFFFFF),
+                     jnp.left_shift(jnp.uint32(1), lc) - 1)
+    v = vals & mask
+
+    phase = (offs & 31).astype(I32)
+    s = 32 - phase - lens                            # in [-31, 32]
+    w0 = (offs >> 5).astype(I32)
+
+    s_pos = jnp.maximum(s, 0).astype(U32)
+    s_neg = jnp.maximum(-s, 0).astype(U32)
+    hi = jnp.where(nonempty & (s >= 0), jnp.left_shift(v, s_pos),
+                   jnp.where(nonempty, jnp.right_shift(v, s_neg), 0))
+    lo_shift = jnp.clip(32 + s, 1, 31).astype(U32)
+    lo = jnp.where(nonempty & (s < 0), jnp.left_shift(v, lo_shift), 0)
+
+    def pack_lane(w_idx, hi_v, lo_v):
+        out = jnp.zeros((num_words,), dtype=U32)
+        out = out.at[w_idx].add(hi_v, mode="drop")
+        out = out.at[w_idx + 1].add(lo_v, mode="drop")
+        return out
+
+    words = jax.vmap(pack_lane)(w0, hi, lo)
+    return words, total_bits
+
+
+def words_to_bytes(words: np.ndarray, total_bits: np.ndarray) -> list[bytes]:
+    """Host-side: big-endian word images -> per-frame byte strings,
+    truncated to ceil(total_bits/8)."""
+    words = np.asarray(words, dtype=np.uint32)
+    total_bits = np.asarray(total_bits)
+    raw = words.astype(">u4").tobytes()
+    W4 = words.shape[1] * 4
+    out = []
+    for b in range(words.shape[0]):
+        nbytes = (int(total_bits[b]) + 7) // 8
+        out.append(raw[b * W4: b * W4 + nbytes])
+    return out
+
+
+def bytes_to_words(packets: list[bytes], num_words: int) -> np.ndarray:
+    """Host-side: per-frame packet bytes -> (B, W) big-endian word images,
+    zero-padded."""
+    B = len(packets)
+    buf = np.zeros((B, num_words * 4), dtype=np.uint8)
+    for i, p in enumerate(packets):
+        if len(p) > num_words * 4:
+            raise ValueError("packet larger than word image")
+        buf[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    return buf.reshape(B, num_words, 4).view(">u4")[..., 0].astype(np.uint32)

@@ -1,0 +1,301 @@
+"""Batched adaptive Rice coding on device (oracle: alacjax.oracle.ag;
+reference: codec/ag_enc.c / ag_dec.c).
+
+Encode is reformulated for a vector machine (SURVEY.md §5): a scan over
+the sample axis tracks the (mb, zero-run) state machine across B frame
+lanes and *emits tokens* — up to three (value, bit-length) pairs per step
+(pending zero-run codeword, residual codeword, escape payload) — instead
+of writing bits serially.  alacjax.ops.bitpack turns token streams into
+packed bytes with a prefix-sum + word-scatter.  A cost-only variant keeps
+just the running bit count (used by the encoder's parameter search).
+
+Decode keeps the reference's sequential bit cursor per frame (each
+codeword's position depends on all previous lengths) but runs all B frame
+cursors in lockstep: one scan step decodes one residual codeword (plus an
+optional zero-run codeword) per lane from a (B, W) uint32 word image.
+
+State arithmetic is uint32 wraparound, bit-identical to the oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..types import (
+    BITOFF, MAX_PREFIX_16, MAX_PREFIX_32, MAX_RICE_NUMBITS, MDENSHIFT,
+    MMULSHIFT, MOFF, N_MAX_MEAN_CLAMP, N_MEAN_CLAMP_VAL, PBSHIFT, QB, QBSHIFT,
+)
+from .jaxutils import I32, U32, clz32, lg3a
+
+_U32_ONE = jnp.uint32(1)
+
+
+def _dyn_code_32(bit_size: int, m, k, n):
+    """Vectorized ag_enc.c :: dyn_code_32bit.
+
+    Returns (esc, val1 u32, len1 i32): non-escape codeword, or the 9-ones
+    escape prefix; escape payload is (n, bit_size) appended by the caller.
+    """
+    div = n // m
+    div_c = jnp.minimum(div, jnp.uint32(MAX_PREFIX_32)).astype(I32)
+    mod = n - m * div
+    de = (mod == 0).astype(I32)
+    nb = div_c + k + 1 - de
+    esc = (div >= MAX_PREFIX_32) | (nb > MAX_RICE_NUMBITS)
+    prefix = jnp.left_shift(_U32_ONE, div_c.astype(U32)) - 1
+    val = jnp.left_shift(prefix, (nb - div_c).astype(U32)) + mod + 1 - de.astype(U32)
+    val1 = jnp.where(esc, jnp.uint32((1 << MAX_PREFIX_32) - 1), val)
+    len1 = jnp.where(esc, MAX_PREFIX_32, nb)
+    return esc, val1, len1
+
+
+def _dyn_code_16(m, k, n):
+    """Vectorized ag_enc.c :: dyn_code (zero-run lengths; n <= 65535)."""
+    m = jnp.maximum(m, _U32_ONE)  # masked lanes may carry mz=0 garbage
+    div = n // m
+    div_c = jnp.minimum(div, jnp.uint32(MAX_PREFIX_16)).astype(I32)
+    esc = div >= MAX_PREFIX_16
+    mod = n - m * div
+    de = (mod == 0).astype(I32)
+    nb = div_c + k + 1 - de
+    prefix = jnp.left_shift(_U32_ONE, div_c.astype(U32)) - 1
+    val = jnp.left_shift(prefix, (nb - div_c).astype(U32)) + mod + 1 - de.astype(U32)
+    val_esc = jnp.uint32(((1 << MAX_PREFIX_16) - 1) << 16) | n
+    return jnp.where(esc, val_esc, val), jnp.where(esc, MAX_PREFIX_16 + 16, nb)
+
+
+def _run_kz_mz(mb, wb: int):
+    """Zero-run Rice parameter from the collapsed mean (shared enc/dec)."""
+    kz = clz32(mb) - BITOFF + ((mb + jnp.uint32(MOFF)) >> MDENSHIFT).astype(I32)
+    mz = (jnp.left_shift(_U32_ONE, kz.astype(U32)) - 1) & jnp.uint32(wb)
+    return kz, mz
+
+
+def _encode_step_tokens(x, t, state, *, S, bit_size, pb, kb, wb):
+    """One scan step: returns (new_state, vals (B,3) u32, lens (B,3) i32).
+
+    Token slots, in stream order: [zero-run codeword, residual codeword,
+    escape payload].  ``t == S`` is the virtual end step that flushes a
+    pending run token.
+    """
+    mb, in_run, run_len, run_kz, run_mz = state
+    valid = t < S
+    x = x.astype(I32)
+
+    nonzero = x != 0
+    run_end_nonzero = in_run & nonzero & valid
+    run_len_new = run_len + 1
+    cap = in_run & ~nonzero & valid & (run_len_new >= 65535)
+    flush = in_run & ~valid
+    emit_run = run_end_nonzero | cap | flush
+    nz = jnp.where(cap, run_len_new, run_len).astype(U32)
+    run_val, run_bits = _dyn_code_16(run_mz, run_kz, nz)
+    run_bits = jnp.where(emit_run, run_bits, 0)
+
+    code_now = valid & (~in_run | run_end_nonzero)
+    zmode = run_end_nonzero.astype(U32)
+
+    m0 = mb >> QBSHIFT
+    k = jnp.minimum(lg3a(m0), kb)
+    m = jnp.left_shift(_U32_ONE, k.astype(U32)) - 1
+    absx = jnp.abs(x).astype(U32)
+    n = (absx * 2 - (x < 0).astype(U32) - zmode).astype(U32)
+    esc, val1, len1 = _dyn_code_32(bit_size, m, k, n)
+    len1 = jnp.where(code_now, len1, 0)
+    len2 = jnp.where(code_now & esc, bit_size, 0)
+
+    # mb EMA update + clamp (uint32 wrap)
+    pb_v = jnp.asarray(pb, dtype=U32)
+    mb_upd = (pb_v * (n + zmode) + mb
+              - ((pb_v * mb) >> PBSHIFT)).astype(U32)
+    mb_upd = jnp.where(n > N_MAX_MEAN_CLAMP, jnp.uint32(N_MEAN_CLAMP_VAL), mb_upd)
+    mb1 = jnp.where(code_now, mb_upd, mb)
+
+    trigger = code_now & ((mb1 << MMULSHIFT) < QB) & (t + 1 < S)
+    kz, mz = _run_kz_mz(mb1, wb)
+    run_kz2 = jnp.where(trigger, kz, run_kz)
+    run_mz2 = jnp.where(trigger, mz, run_mz)
+    mb2 = jnp.where(trigger, jnp.uint32(0), mb1)
+
+    continuing = in_run & ~nonzero & valid & ~cap
+    in_run2 = continuing | trigger
+    run_len2 = jnp.where(continuing, run_len_new, jnp.uint32(0))
+
+    vals = jnp.stack([run_val, val1, n], axis=-1)
+    lens = jnp.stack([run_bits, len1, len2], axis=-1).astype(I32)
+    return (mb2, in_run2, run_len2, run_kz2, run_mz2), vals, lens
+
+
+def _init_state(B, mb0: int):
+    return (
+        jnp.full((B,), mb0, dtype=U32),        # mb
+        jnp.zeros((B,), dtype=bool),            # in_run
+        jnp.zeros((B,), dtype=U32),             # run_len
+        jnp.zeros((B,), dtype=I32),             # run_kz
+        jnp.zeros((B,), dtype=U32),             # run_mz
+    )
+
+
+def rice_encode_tokens(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
+    """Residuals (B, S) -> token stream (vals (B, 3*(S+1)) u32,
+    lens (B, 3*(S+1)) i32) in exact bitstream order."""
+    B, S = res.shape
+    xs = jnp.concatenate([res.astype(I32).T,
+                          jnp.ones((1, B), dtype=I32)], axis=0)  # virtual step
+    ts = jnp.arange(S + 1, dtype=I32)
+
+    def step(state, inp):
+        x, t = inp
+        state, vals, lens = _encode_step_tokens(
+            x, t, state, S=S, bit_size=bit_size, pb=pb, kb=kb, wb=wb)
+        return state, (vals, lens)
+
+    _, (vals, lens) = jax.lax.scan(step, _init_state(B, mb0), (xs, ts))
+    # (S+1, B, 3) -> (B, 3*(S+1)), step-major slot order == stream order
+    vals = jnp.transpose(vals, (1, 0, 2)).reshape(B, -1)
+    lens = jnp.transpose(lens, (1, 0, 2)).reshape(B, -1)
+    return vals, lens
+
+
+def rice_cost(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
+    """Total Rice bits per frame lane (B,) — the search's cost metric."""
+    B, S = res.shape
+    xs = jnp.concatenate([res.astype(I32).T,
+                          jnp.ones((1, B), dtype=I32)], axis=0)
+    ts = jnp.arange(S + 1, dtype=I32)
+
+    def step(carry, inp):
+        state, total = carry
+        x, t = inp
+        state, _, lens = _encode_step_tokens(
+            x, t, state, S=S, bit_size=bit_size, pb=pb, kb=kb, wb=wb)
+        return (state, total + jnp.sum(lens, axis=-1)), None
+
+    (_, total), _ = jax.lax.scan(
+        step, (_init_state(B, mb0), jnp.zeros((B,), dtype=I32)), (xs, ts))
+    return total
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+def _peek32(words, bitpos):
+    """Load 32 bits at arbitrary bit offsets from the (B, W) word image.
+
+    ``bitpos`` may be (B,) (one cursor per lane) or (B, K) (vectorized
+    field extraction, e.g. coefficient/shift-byte arrays)."""
+    W = words.shape[1]
+    squeeze = bitpos.ndim == 1
+    bp = bitpos[:, None] if squeeze else bitpos
+    w = (bp >> 5).astype(I32)
+    sh = (bp & 31).astype(U32)
+    w0 = jnp.take_along_axis(words, jnp.clip(w, 0, W - 1), axis=1)
+    w1 = jnp.take_along_axis(words, jnp.clip(w + 1, 0, W - 1), axis=1)
+    out = jnp.where(sh == 0, w0, jnp.left_shift(w0, sh)
+                    | jnp.right_shift(w1, (32 - sh) % 32))
+    return out[:, 0] if squeeze else out
+
+
+def _read_bits(words, bitpos, nbits):
+    """Read ``nbits`` (1..32, may be per-lane) MSB-first at ``bitpos``."""
+    stream = _peek32(words, bitpos)
+    nb = jnp.asarray(nbits, dtype=U32)
+    nb_c = jnp.minimum(nb, jnp.uint32(31))  # avoid shift-by-32 (undefined)
+    mask = jnp.where(nb >= 32, jnp.uint32(0xFFFFFFFF),
+                     jnp.left_shift(_U32_ONE, nb_c) - 1)
+    return jnp.right_shift(stream, (32 - nb) % 32) & mask
+
+
+def rice_decode(words, start_bits, num_samples: int, bit_size,
+                mb0: int, pb: int, kb: int, wb: int):
+    """Decode ``num_samples`` residuals per lane from packed words.
+
+    words: (B, W) uint32 big-endian bit image of each frame's packet.
+    start_bits: (B,) bit offset where each lane's Rice stream begins.
+    bit_size: escape payload width (scalar or per-lane (B,)).
+    Returns (residuals (B, S) i32, end_bits (B,), error (B,) bool).
+    """
+    B = words.shape[0]
+    S = num_samples
+    bit_size = jnp.broadcast_to(jnp.asarray(bit_size, dtype=I32), (B,))
+
+    def step(state, _):
+        bitpos, mb, c, zmode, err = state
+        active = c < S
+
+        m0 = mb >> QBSHIFT
+        k = jnp.minimum(lg3a(m0), kb)
+        m = jnp.left_shift(_U32_ONE, k.astype(U32)) - 1
+
+        stream = _peek32(words, bitpos)
+        pre = clz32(~stream)
+        esc = pre >= MAX_PREFIX_32
+        v = jnp.right_shift(jnp.left_shift(stream, (pre + 1).astype(U32)),
+                            ((32 - k) % 32).astype(U32))
+        use_v = (k != 1) & ~esc
+        vge2 = v >= 2
+        n_plain = (pre.astype(U32) * m
+                   + jnp.where(use_v & vge2, v - 1, jnp.uint32(0)))
+        adv_plain = pre + 1 + jnp.where(use_v, jnp.where(vge2, k, k - 1), 0)
+        raw = _read_bits(words, bitpos + MAX_PREFIX_32, bit_size)
+        n = jnp.where(esc, raw, n_plain)
+        adv = jnp.where(esc, MAX_PREFIX_32 + bit_size, adv_plain)
+
+        ndecode = n + zmode
+        half = (ndecode >> 1).astype(I32)
+        delta = jnp.where((ndecode & 1) == 1, -(half + 1), half)
+
+        c1 = c + 1
+        pb_v = jnp.asarray(pb, dtype=U32)
+        mb_upd = (pb_v * ndecode + mb
+                  - ((pb_v * mb) >> PBSHIFT)).astype(U32)
+        mb_upd = jnp.where(n > N_MAX_MEAN_CLAMP,
+                           jnp.uint32(N_MEAN_CLAMP_VAL), mb_upd)
+        mb1 = jnp.where(active, mb_upd, mb)
+
+        trigger = active & ((mb1 << MMULSHIFT) < QB) & (c1 < S)
+        kz, mz = _run_kz_mz(mb1, wb)
+        pos_run = bitpos + adv
+        stream2 = _peek32(words, pos_run)
+        pre2 = clz32(~stream2)
+        esc2 = pre2 >= MAX_PREFIX_16
+        v2 = jnp.right_shift(jnp.left_shift(stream2, (pre2 + 1).astype(U32)),
+                             ((32 - kz) % 32).astype(U32))
+        v2ge2 = v2 >= 2
+        nz_plain = (pre2.astype(U32) * jnp.maximum(mz, _U32_ONE)
+                    + jnp.where((kz != 1) & v2ge2, v2 - 1, jnp.uint32(0)))
+        adv2_plain = pre2 + 1 + jnp.where(kz != 1,
+                                          jnp.where(v2ge2, kz, kz - 1), 0)
+        raw2 = _read_bits(words, pos_run + MAX_PREFIX_16, 16)
+        nz = jnp.where(esc2, raw2, nz_plain)
+        adv2 = jnp.where(esc2, MAX_PREFIX_16 + 16, adv2_plain)
+
+        overrun = trigger & (c1.astype(U32) + nz > S)
+        err = err | overrun
+        nz_safe = jnp.where(overrun, jnp.uint32(0), nz)
+
+        c2 = jnp.where(trigger, c1 + nz_safe.astype(I32), c1)
+        zmode2 = jnp.where(trigger & (nz_safe < 65535) & ~overrun,
+                           jnp.uint32(1), jnp.uint32(0))
+        zmode2 = jnp.where(active, zmode2, zmode)
+        mb2 = jnp.where(trigger, jnp.uint32(0), mb1)
+        bitpos2 = jnp.where(active,
+                            bitpos + adv + jnp.where(trigger, adv2, 0), bitpos)
+        c2 = jnp.where(active, c2, c)
+
+        emit_idx = jnp.where(active, c, S)  # S = dropped by scatter
+        return (bitpos2, mb2, c2, zmode2, err), (emit_idx, delta)
+
+    state0 = (start_bits.astype(I32), jnp.full((B,), mb0, dtype=U32),
+              jnp.zeros((B,), dtype=I32), jnp.zeros((B,), dtype=U32),
+              jnp.zeros((B,), dtype=bool))
+    (end_bits, _, _, _, err), (idx, vals) = jax.lax.scan(
+        step, state0, None, length=S)
+
+    # scatter the (step, lane) emissions into (B, S); runs stay zero
+    def scatter_lane(i, v):
+        return jnp.zeros((S,), dtype=I32).at[i].set(v, mode="drop")
+
+    res = jax.vmap(scatter_lane)(idx.T, vals.T)
+    return res, end_bits, err

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark: batched encode+decode throughput on one chip.
+
+Primary metric (BASELINE.json): encode+decode frames/sec/chip on 16-bit
+44.1 kHz stereo, 4096-sample frames.  Prints ONE JSON line.
+
+vs_baseline: the reference (Apple ALAC C, single core) publishes no
+numbers and /root/reference is an empty mount (SURVEY.md §0/§6), so the
+denominator is the repo's documented estimate of reference-class C
+single-core encode+decode throughput (BASELINE.md): ~2000 frames/s.
+Replace with a measured number once the reference can be built.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FRAMES_PER_SEC_EST = 2000.0  # reference C single-core (estimate)
+
+
+def make_music(nf: int, S: int, seed: int = 7) -> np.ndarray:
+    """Synthetic stereo 'music': chords + vibrato + noise floor, int16."""
+    rng = np.random.default_rng(seed)
+    n = nf * S
+    t = np.arange(n) / 44100.0
+    sig = (8000 * np.sin(2 * np.pi * 440 * t)
+           + 4000 * np.sin(2 * np.pi * 554.4 * t + 0.3)
+           + 2000 * np.sin(2 * np.pi * 220 * t * (1 + 0.001 * np.sin(2 * np.pi * 5 * t)))
+           + 120 * rng.standard_normal(n))
+    left = np.clip(sig, -32768, 32767).astype(np.int32)
+    right = np.clip(np.roll(sig, 23) * 0.92, -32768, 32767).astype(np.int32)
+    pcm = np.stack([left, right]).reshape(2, nf, S)
+    return np.transpose(pcm, (1, 0, 2)).copy()  # (nf, 2, S)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from alacjax.codec import get_codec
+    from alacjax.types import AlacConfig
+
+    S = 4096
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    config = AlacConfig(bit_depth=16, num_channels=2, frame_length=S,
+                        sample_rate=44100)
+    codec = get_codec(config, chunk=B)
+
+    pcm = make_music(B, S)
+    x = jnp.asarray(pcm)
+
+    # warmup / compile
+    t0 = time.time()
+    words, bits = codec._encode(x)
+    words.block_until_ready()
+    enc_compile = time.time() - t0
+    t0 = time.time()
+    decoded, err = codec._decode(words)
+    decoded.block_until_ready()
+    dec_compile = time.time() - t0
+
+    # correctness gate inside the bench: lossless or the number is void
+    assert not np.asarray(err).any(), "decode error flags set"
+    assert (np.asarray(decoded) == pcm).all(), "round-trip not lossless"
+
+    # steady state
+    t0 = time.time()
+    for _ in range(iters):
+        w, b = codec._encode(x)
+        d, e = codec._decode(w)
+    d.block_until_ready()
+    dt = time.time() - t0
+
+    fps = B * iters / dt
+    comp_ratio = float(np.sum((np.asarray(bits) + 7) // 8)) / pcm.nbytes * 2
+    result = {
+        "metric": "encode+decode frames/sec/chip (16-bit stereo 44.1kHz, 4096-sample frames)",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_EST, 2),
+        "detail": {
+            "batch_frames": B,
+            "iters": iters,
+            "seconds": round(dt, 3),
+            "audio_seconds_per_second": round(fps * S / 44100.0, 1),
+            "compression_ratio": round(comp_ratio, 3),
+            "encode_compile_s": round(enc_compile, 1),
+            "decode_compile_s": round(dec_compile, 1),
+            "device": str(jax.devices()[0]),
+            "baseline_note": "vs estimated 2000 frames/s single-core C (unmeasured; reference mount empty)",
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

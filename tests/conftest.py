@@ -8,12 +8,20 @@ through bench.py, not the test suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment's sitecustomize imports jax at interpreter start
+# with JAX_PLATFORMS=axon, so the env var alone cannot force CPU; the
+# config update below is the override that actually works.  XLA_FLAGS is
+# still read lazily at first backend init, so the host-device-count flag
+# must be set before any jax use.
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

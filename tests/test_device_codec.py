@@ -1,0 +1,129 @@
+"""Batched device codec end-to-end: byte parity with the oracle encoder,
+lossless decode, cross-backend compatibility, and the jax file backend."""
+
+import numpy as np
+import pytest
+
+from alacjax.codec import get_codec
+from alacjax.oracle import ALACDecoder, ALACEncoder
+from alacjax.types import AlacConfig
+from conftest import gen_pcm
+
+S = 256
+NF = 5
+
+
+def frames(rng, kind, nch, depth, nf=NF):
+    return np.stack([gen_pcm(rng, kind, nch, S, depth) for _ in range(nf)])
+
+
+@pytest.mark.parametrize("depth", [16, 20, 24, 32])
+@pytest.mark.parametrize("nch", [1, 2])
+@pytest.mark.parametrize("kind", ["sine", "noise", "silence", "impulse"])
+def test_device_packets_byte_identical_to_oracle(rng, depth, nch, kind):
+    cfg = AlacConfig(bit_depth=depth, num_channels=nch, frame_length=S)
+    x = frames(rng, kind, nch, depth)
+    pkts = get_codec(cfg, chunk=NF).encode_frames(x)
+    enc = ALACEncoder(cfg, independent_frames=True)
+    for i in range(NF):
+        assert pkts[i] == enc.encode_packet(x[i]), f"frame {i}"
+
+
+@pytest.mark.parametrize("depth", [16, 24])
+@pytest.mark.parametrize("nch", [1, 2, 6])
+def test_device_roundtrip(rng, depth, nch):
+    cfg = AlacConfig(bit_depth=depth, num_channels=nch, frame_length=S)
+    codec = get_codec(cfg, chunk=NF)
+    x = frames(rng, "sine", nch, depth)
+    y = codec.decode_frames(codec.encode_frames(x))
+    np.testing.assert_array_equal(y, x)
+
+
+def test_device_decodes_persistent_oracle_streams(rng):
+    """Device decode must accept streams from the stateful (coef-persistent)
+    oracle encoder, not just independent-frames streams."""
+    cfg = AlacConfig(bit_depth=16, num_channels=2, frame_length=S)
+    x = frames(rng, "sine", 2, 16)
+    enc = ALACEncoder(cfg)  # persistent banks
+    pkts = [enc.encode_packet(x[i]) for i in range(NF)]
+    y = get_codec(cfg, chunk=NF).decode_frames(pkts)
+    np.testing.assert_array_equal(y, x)
+
+
+def test_oracle_decodes_device_streams(rng):
+    cfg = AlacConfig(bit_depth=24, num_channels=2, frame_length=S)
+    x = frames(rng, "impulse", 2, 24)
+    pkts = get_codec(cfg, chunk=NF).encode_frames(x)
+    dec = ALACDecoder(cfg)
+    for i in range(NF):
+        y, _ = dec.decode_packet(pkts[i])
+        np.testing.assert_array_equal(y, x[i])
+
+
+def test_device_decode_falls_back_on_two_stage_mode(rng):
+    """Streams using predictor mode!=0 decode correctly on device (the
+    cumsum pre-stage), matching the oracle."""
+    import jax.numpy as jnp
+    from alacjax.bitbuffer import BitBuffer
+    from alacjax.oracle import dp
+    from alacjax.oracle import ag as ag_mod
+    from alacjax.oracle.encoder import (_rice_params, _write_channel_params,
+                                        _write_element_header)
+    from alacjax.types import ElementTag, kALACMaxCoefs
+
+    cfg = AlacConfig(bit_depth=16, num_channels=1, frame_length=S)
+    x = gen_pcm(rng, "sine", 1, S, 16)[0]
+    coefs = dp.init_coefs(9)
+    coefs0 = coefs.copy()
+    res_fir = dp.pc_block(x, coefs, 8, 16, 9)
+    res = dp.pc_block(res_fir, np.zeros(kALACMaxCoefs, dtype=np.int64), 31, 16, 0)
+    bits = BitBuffer(byte_size=4 * S)
+    _write_element_header(bits, ElementTag.SCE, 0, False, 0, False, S)
+    _write_channel_params(bits, 1, 9, 4, coefs0, 8)
+    ag_mod.dyn_comp(_rice_params(cfg, S, 4), bits, res, S, 16)
+    bits.write(int(ElementTag.END), 3)
+    bits.byte_align(add_zeros=True)
+    pkt = bits.to_bytes()
+
+    y = get_codec(cfg, chunk=1).decode_frames([pkt])
+    np.testing.assert_array_equal(y[0, 0], x)
+
+
+def test_device_decode_flags_corrupt_headers_and_falls_back(rng):
+    """A frame whose header parse fails on device must be retried on the
+    oracle; truly corrupt frames raise typed errors end-to-end."""
+    from alacjax.types import AlacError
+    cfg = AlacConfig(bit_depth=16, num_channels=2, frame_length=S)
+    codec = get_codec(cfg, chunk=2)
+    x = frames(rng, "sine", 2, 16, nf=2)
+    pkts = codec.encode_frames(x)
+    bad = bytearray(pkts[1])
+    bad[0] = 0xFF  # wrong element tag -> device err flag -> oracle -> raise
+    with pytest.raises(AlacError):
+        codec.decode_frames([pkts[0], bytes(bad)])
+
+
+def test_jax_backend_stream_roundtrip_with_partial_tail(rng):
+    from alacjax.convert import get_backend
+    enc, dec = get_backend("jax")
+    cfg = AlacConfig(bit_depth=16, num_channels=2, frame_length=S)
+    pcm = gen_pcm(rng, "sine", 2, S * 3 + 77, 16)  # partial tail packet
+    pkts = enc(cfg, pcm)
+    assert len(pkts) == 4
+    out = dec(cfg, pkts, pcm.shape[1])
+    np.testing.assert_array_equal(out, pcm)
+
+
+def test_cli_jax_backend(rng, tmp_path):
+    from alacjax.cli import main
+    from alacjax.containers import pack_pcm, read_wav, unpack_pcm, write_wav
+    from alacjax.containers.wav import WavFile
+    x = gen_pcm(rng, "sine", 2, 700, 16)
+    wav_in = tmp_path / "a.wav"
+    write_wav(WavFile(44100, 16, 2, pack_pcm(x, 16)), str(wav_in))
+    assert main([str(wav_in), str(tmp_path / "a.caf"), "--frame-size", str(S),
+                 "--backend", "jax"]) == 0
+    assert main([str(tmp_path / "a.caf"), str(tmp_path / "b.wav"),
+                 "--backend", "jax"]) == 0
+    back = read_wav(str(tmp_path / "b.wav"))
+    np.testing.assert_array_equal(unpack_pcm(back.data, 16, 2), x)
