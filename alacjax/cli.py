@@ -50,16 +50,21 @@ def main(argv=None) -> int:
         except Exception:
             backend = "oracle"
 
+    import time
+
     from .convert import convert_file
+    t0 = time.time()
     try:
-        convert_file(
-            args.input, args.output,
-            frame_length=args.frame_size,
-            fast_mode=args.fast,
-            independent_frames=args.independent_frames,
-            backend=backend,
-        ) if args.input.lower().endswith(".wav") else convert_file(
-            args.input, args.output, backend=backend)
+        if args.input.lower().endswith(".wav"):
+            convert_file(
+                args.input, args.output,
+                frame_length=args.frame_size,
+                fast_mode=args.fast,
+                independent_frames=args.independent_frames,
+                backend=backend,
+            )
+        else:
+            convert_file(args.input, args.output, backend=backend)
     except AlacError as e:
         print(f"alacconvert: {e}", file=sys.stderr)
         return abs(e.status) % 256 or 1
@@ -67,7 +72,13 @@ def main(argv=None) -> int:
         print(f"alacconvert: {e}", file=sys.stderr)
         return 1
     if args.verbose:
-        print(f"{args.input} -> {args.output} [backend={backend}]")
+        import os
+        dt = time.time() - t0
+        in_sz = os.path.getsize(args.input)
+        out_sz = os.path.getsize(args.output)
+        print(f"{args.input} ({in_sz}B) -> {args.output} ({out_sz}B) "
+              f"ratio={out_sz / max(in_sz, 1):.3f} "
+              f"[backend={backend}, {dt:.2f}s]")
     return 0
 
 

@@ -133,9 +133,11 @@ def _candidate_search(chans, chanbits, config, is_cpe):
 
     res_list, cost = [], jnp.zeros((C * B,), dtype=I32)
     for st in stacks:
-        res, _ = predict.pc_block(st, coefs0, na, chanbits, DENSHIFT_DEFAULT)
+        with jax.named_scope("alacjax.predict"):
+            res, _ = predict.pc_block(st, coefs0, na, chanbits, DENSHIFT_DEFAULT)
         res_list.append(res)
-        cost = cost + rice.rice_cost(res, chanbits, mb0, pb, kb, wb)
+        with jax.named_scope("alacjax.rice_cost"):
+            cost = cost + rice.rice_cost(res, chanbits, mb0, pb, kb, wb)
     cost = cost + 16 * na * len(stacks)      # transmitted coef bits
 
     cost_cb = cost.reshape(C, B)
@@ -193,9 +195,13 @@ def _encode_element_tokens(pcm_elem, tag, instance, config: AlacConfig):
         sh = _interleave2(los[0], los[1]) if is_cpe else los[0]
         parts_v.append(sh.astype(U32))
         parts_l.append(jnp.full(sh.shape, 8 * bs, I32))
-    for res in res_win:
-        tv, tl = rice.rice_encode_tokens(res, chanbits, mb0, pb, kb, wb)
-        parts_v.append(tv); parts_l.append(tl)
+    # both channels in one scan: stack along the lane axis, split after
+    with jax.named_scope("alacjax.rice_tokens"):
+        tv, tl = rice.rice_encode_tokens(
+            jnp.concatenate(res_win, axis=0), chanbits, mb0, pb, kb, wb)
+    for ci in range(nch):
+        parts_v.append(tv[ci * B:(ci + 1) * B])
+        parts_l.append(tl[ci * B:(ci + 1) * B])
     vals_c = jnp.concatenate(parts_v, axis=1)
     lens_c = jnp.concatenate(parts_l, axis=1)
     T = vals_c.shape[1]
@@ -245,7 +251,8 @@ def encode_frames_device(pcm, config: AlacConfig, num_words: int):
     vals = jnp.concatenate([vals, jnp.zeros((B, 1), U32)], axis=1)
     lens = jnp.concatenate([lens, pad[:, None].astype(I32)], axis=1)
 
-    return bitpack.assemble(vals, lens, num_words)
+    with jax.named_scope("alacjax.bitpack"):
+        return bitpack.assemble(vals, lens, num_words)
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,12 @@ update: each of the 16 tap iterations computes its activity predicate
 +/-1 coefficient step — bit-identical to the sequential walk because the
 mask reproduces the exact break condition.
 
+Performance shape: the scan carry is a *tuple of (B,) vectors* (17 lagged
+samples + 16 coefficient columns), so the per-step "window shift" is pure
+SSA renaming — zero data movement — and every op in the body is a plain
+elementwise op on (B,) lanes.  A (B, 17) window with per-step concatenate
+costs ~10x in loop overhead.
+
 ``numactive`` may be a static python int (encoder: candidate orders) or a
 per-lane (B,) array (decoder: orders arrive in the stream).  Per-lane
 values are supported for 0, 1..16, and 31; 17..30 (format-legal but never
@@ -25,7 +31,8 @@ import jax.numpy as jnp
 from ..types import kALACMaxCoefs
 from .jaxutils import I32, sign_extend, sign_of_int
 
-_W = kALACMaxCoefs + 1  # window: in[j-1] .. in[j-17]
+_W = kALACMaxCoefs + 1  # lags: in[j-1] .. in[j-17]
+_UNROLL = 4
 
 
 def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool):
@@ -33,78 +40,78 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool):
     encode, residuals on decode).  Returns (out (S, B), coefs (B, 16))."""
     S, B = x_sb.shape
     static_na = isinstance(na, int)
-    na_v = jnp.full((B,), na, dtype=I32) if static_na else na.astype(I32)
+    na_v = None if static_na else na.astype(I32)
     denshift = jnp.asarray(denshift, dtype=I32)
-    # denshift == 0 is only reachable from invalid streams (the decoder
-    # flags such lanes and overlays the oracle); clamp to avoid a
-    # negative shift in the masked-off lanes
+    # denshift == 0 only reachable from invalid streams (flagged upstream)
     denshift = jnp.maximum(denshift, 1)
     denhalf = jnp.left_shift(jnp.int32(1), denshift - 1).astype(I32)
 
-    window0 = jnp.zeros((B, _W), dtype=I32)
-    ts = jnp.arange(S, dtype=I32)
+    zero = jnp.zeros((B,), dtype=I32)
+    lags0 = (zero,) * _W
+    coef_cols0 = tuple(coefs0.astype(I32)[:, k] for k in range(kALACMaxCoefs))
+
+    nk = na if static_na else kALACMaxCoefs
 
     def step(carry, inp):
-        window, coefs = carry
-        x_t, t = inp
+        lags, coefs, t = carry[:_W], carry[_W:_W + kALACMaxCoefs], carry[-1]
+        x_t = inp
 
         if static_na:
-            top = window[:, na]
+            top = lags[na]
+            in_warm = t <= na
         else:
-            top = jnp.take_along_axis(window, na_v[:, None], axis=1)[:, 0]
+            top = zero
+            for i in range(kALACMaxCoefs + 1):
+                top = jnp.where(na_v == i, lags[i], top)
+            in_warm = t <= na_v
 
-        # prediction: int32 wraparound accumulate, arithmetic shift
-        sum1 = jnp.broadcast_to(denhalf, (B,)).astype(I32)
-        for k in range(kALACMaxCoefs):
-            if static_na and k >= na:
-                break
-            term = coefs[:, k] * (window[:, k] - top)
-            if static_na:
-                sum1 = sum1 + term
-            else:
-                sum1 = sum1 + jnp.where(k < na_v, term, 0)
+        sum1 = denhalf
+        for k in range(nk):
+            term = coefs[k] * (lags[k] - top)
+            sum1 = sum1 + (term if static_na else jnp.where(k < na_v, term, 0))
         pred_adj = jnp.right_shift(sum1, denshift)
 
         if decode:
             out_gen = sign_extend(x_t + top + pred_adj, chanbits)
-            out_warm = sign_extend(x_t + window[:, 0], chanbits)
+            out_warm = sign_extend(x_t + lags[0], chanbits)
             err = x_t                      # residual drives adaptation
         else:
             out_gen = sign_extend(x_t - top - pred_adj, chanbits)
-            out_warm = sign_extend(x_t - window[:, 0], chanbits)
+            out_warm = sign_extend(x_t - lags[0], chanbits)
             err = out_gen
 
-        out = jnp.where(t == 0, x_t, jnp.where(t <= na_v, out_warm, out_gen))
+        out = jnp.where(t == 0, x_t, jnp.where(in_warm, out_warm, out_gen))
 
         # sign-sign adaptation with branchless early exit
-        adapt = t > na_v
+        adapt = ~in_warm
         sg = sign_of_int(err)
         del0 = err
-        new_cols = []
+        new_coefs = list(coefs)
         for k in range(kALACMaxCoefs - 1, -1, -1):
-            if static_na and k >= na:
-                new_cols.append(coefs[:, k])
+            if k >= nk:
                 continue
             going = jnp.where(sg > 0, del0 > 0, del0 < 0)
-            active = adapt & (sg != 0) & going & (k < na_v)
-            dd = top - window[:, k]
+            active = adapt & (sg != 0) & going
+            if not static_na:
+                active = active & (k < na_v)
+            dd = top - lags[k]
             sgn = sign_of_int(dd)
             upd = jnp.where(sg > 0, -sgn, sgn)
-            col = sign_extend(coefs[:, k] + jnp.where(active, upd, 0), 16)
-            new_cols.append(col)
+            new_coefs[k] = sign_extend(coefs[k] + jnp.where(active, upd, 0), 16)
             mag = sgn * dd                      # |dd|
             term = jnp.where(sg > 0,
                              jnp.right_shift(mag, denshift),
                              jnp.right_shift(-mag, denshift))
-            del0 = del0 - jnp.where(active, (na_v - k) * term, 0)
-        coefs = jnp.stack(new_cols[::-1], axis=1)
+            weight = (na - k) if static_na else (na_v - k)
+            del0 = del0 - jnp.where(active, weight * term, 0)
 
         new_sample = out if decode else x_t
-        window = jnp.concatenate([new_sample[:, None], window[:, :-1]], axis=1)
-        return (window, coefs), out
+        new_lags = (new_sample,) + lags[:-1]   # SSA rotation: free
+        return new_lags + tuple(new_coefs) + (t + 1,), out
 
-    (_, coefs_out), out_sb = jax.lax.scan(
-        step, (window0, coefs0.astype(I32)), (x_sb, ts))
+    carry0 = lags0 + coef_cols0 + (jnp.int32(0),)
+    carry_out, out_sb = jax.lax.scan(step, carry0, x_sb, unroll=_UNROLL)
+    coefs_out = jnp.stack(carry_out[_W:_W + kALACMaxCoefs], axis=1)
     return out_sb, coefs_out
 
 

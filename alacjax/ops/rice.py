@@ -122,8 +122,8 @@ def _encode_step_tokens(x, t, state, *, S, bit_size, pb, kb, wb):
     in_run2 = continuing | trigger
     run_len2 = jnp.where(continuing, run_len_new, jnp.uint32(0))
 
-    vals = jnp.stack([run_val, val1, n], axis=-1)
-    lens = jnp.stack([run_bits, len1, len2], axis=-1).astype(I32)
+    vals = (run_val, val1, n)
+    lens = (run_bits, jnp.asarray(len1, I32), jnp.asarray(len2, I32))
     return (mb2, in_run2, run_len2, run_kz2, run_mz2), vals, lens
 
 
@@ -149,13 +149,13 @@ def rice_encode_tokens(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
         x, t = inp
         state, vals, lens = _encode_step_tokens(
             x, t, state, S=S, bit_size=bit_size, pb=pb, kb=kb, wb=wb)
-        return state, (vals, lens)
+        return state, vals + lens
 
-    _, (vals, lens) = jax.lax.scan(step, _init_state(B, mb0), (xs, ts))
-    # (S+1, B, 3) -> (B, 3*(S+1)), step-major slot order == stream order
-    vals = jnp.transpose(vals, (1, 0, 2)).reshape(B, -1)
-    lens = jnp.transpose(lens, (1, 0, 2)).reshape(B, -1)
-    return vals, lens
+    _, ys = jax.lax.scan(step, _init_state(B, mb0), (xs, ts), unroll=4)
+    # 6 x (S+1, B) -> (B, 3*(S+1)); step-major slot order == stream order
+    vals = jnp.transpose(jnp.stack(ys[:3], axis=-1), (1, 0, 2)).reshape(B, -1)
+    lens = jnp.transpose(jnp.stack(ys[3:], axis=-1), (1, 0, 2)).reshape(B, -1)
+    return vals, lens.astype(I32)
 
 
 def rice_cost(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
@@ -170,10 +170,11 @@ def rice_cost(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
         x, t = inp
         state, _, lens = _encode_step_tokens(
             x, t, state, S=S, bit_size=bit_size, pb=pb, kb=kb, wb=wb)
-        return (state, total + jnp.sum(lens, axis=-1)), None
+        return (state, total + lens[0] + lens[1] + lens[2]), None
 
     (_, total), _ = jax.lax.scan(
-        step, (_init_state(B, mb0), jnp.zeros((B,), dtype=I32)), (xs, ts))
+        step, (_init_state(B, mb0), jnp.zeros((B,), dtype=I32)), (xs, ts),
+        unroll=4)
     return total
 
 
@@ -291,7 +292,7 @@ def rice_decode(words, start_bits, num_samples: int, bit_size,
               jnp.zeros((B,), dtype=I32), jnp.zeros((B,), dtype=U32),
               jnp.zeros((B,), dtype=bool))
     (end_bits, _, _, _, err), (idx, vals) = jax.lax.scan(
-        step, state0, None, length=S)
+        step, state0, None, length=S, unroll=4)
 
     # scatter the (step, lane) emissions into (B, S); runs stay zero
     def scatter_lane(i, v):
