@@ -131,13 +131,16 @@ def _candidate_search(chans, chanbits, config, is_cpe):
         [jnp.full((B,), od, dtype=I32) for _, od in cands], axis=0)
     coefs0 = _init_coefs_batched(C * B)
 
-    res_list, cost = [], jnp.zeros((C * B,), dtype=I32)
+    res_list, ch_costs = [], []
+    cost = jnp.zeros((C * B,), dtype=I32)
     for st in stacks:
         with jax.named_scope("alacjax.predict"):
             res, _ = predict.pc_block(st, coefs0, na, chanbits, DENSHIFT_DEFAULT)
         res_list.append(res)
         with jax.named_scope("alacjax.rice_cost"):
-            cost = cost + rice.rice_cost(res, chanbits, mb0, pb, kb, wb)
+            c = rice.rice_cost(res, chanbits, mb0, pb, kb, wb)
+        ch_costs.append(c)
+        cost = cost + c
     cost = cost + 16 * na * len(stacks)      # transmitted coef bits
 
     cost_cb = cost.reshape(C, B)
@@ -149,9 +152,15 @@ def _candidate_search(chans, chanbits, config, is_cpe):
             arr_cb.reshape(C, B, S), win[None, :, None], axis=0)[0]
 
     res_win = [pick(r) for r in res_list]
+    # exact per-channel Rice bit counts of the winner (lets the packet
+    # assembler compute every stream's absolute start offset up front)
+    rice_bits_win = [
+        jnp.take_along_axis(c.reshape(C, B), win[None, :], axis=0)[0]
+        for c in ch_costs
+    ]
     order_win = jnp.asarray([od for _, od in cands], dtype=I32)[win]
     mixres_win = jnp.asarray([mr for mr, _ in cands], dtype=I32)[win]
-    return res_win, order_win, mixres_win, body_bits
+    return res_win, order_win, mixres_win, body_bits, rice_bits_win
 
 
 def _encode_element_tokens(pcm_elem, tag, instance, config: AlacConfig):
@@ -174,7 +183,7 @@ def _encode_element_tokens(pcm_elem, tag, instance, config: AlacConfig):
         his.append(hi)
         los.append(lo)
 
-    res_win, order_win, mixres_win, body_bits = _candidate_search(
+    res_win, order_win, mixres_win, body_bits, _ = _candidate_search(
         his, chanbits, config, is_cpe)
 
     # ---- compressed token stream ----
@@ -226,8 +235,147 @@ def _encode_element_tokens(pcm_elem, tag, instance, config: AlacConfig):
     return vals, lens
 
 
+# ---------------------------------------------------------------------------
+# scatter-free fast path: single-element 16-bit packets as word chunks
+# ---------------------------------------------------------------------------
+def _escape_words16(pcm_elem, tag, instance):
+    """Escape packet image for depth-16 single-element layouts, built with
+    pure strided slicing (field offsets are affine in the word index).
+
+    Returns (words (B, We) u32, total_bits int)."""
+    B, S = pcm_elem[0].shape
+    nch = len(pcm_elem)
+    n_fields = nch * S
+    hdr = _header23(tag, instance, 0, True)
+    if nch == 2:
+        f = _interleave2(pcm_elem[0], pcm_elem[1]).astype(I32)
+    else:
+        f = pcm_elem[0].astype(I32)
+    f = f.astype(U32) & jnp.uint32(0xFFFF)
+
+    end_bit = 23 + 16 * n_fields
+    total_bits = end_bit + 3
+    n_words = (total_bits + 31) // 32
+
+    # field k spans bits [23+16k, 39+16k); word j>=1 sees fields 2j-2..2j
+    f_pad = jnp.concatenate([f, jnp.zeros((B, 3), U32)], axis=1)
+    a = f_pad[:, 0::2][:, : n_words - 1]
+    b = f_pad[:, 1::2][:, : n_words - 1]
+    c = f_pad[:, 2::2][:, : n_words - 1]
+    wj = ((a & 0x7F) << 25) | (b << 9) | (c >> 7)
+    w0 = (jnp.uint32(hdr) << 9) | (f[:, 0] >> 7)
+    words = jnp.concatenate([w0[:, None], wj], axis=1)
+
+    # splice the 3-bit END tag at its (static) position
+    je, off = end_bit >> 5, end_bit & 31
+    if off <= 29:
+        words = words.at[:, je].add(jnp.uint32(7 << (29 - off)))
+    else:
+        hi_bits = 32 - off
+        words = words.at[:, je].add(jnp.uint32(7 >> (3 - hi_bits)))
+        words = words.at[:, je + 1].add(
+            jnp.uint32((7 << (32 - (3 - hi_bits))) & 0xFFFFFFFF))
+    return words, total_bits
+
+
+def _encode_packet_chunks_fast(pcm, config: AlacConfig, num_words: int):
+    """Packet assembly without any large scatter (16-bit, 1 element).
+
+    Every stream's absolute bit offset is known before emission (header
+    lengths are closed-form; per-channel Rice bit counts come from the
+    search), so the Rice scans emit phase-aligned word chunks directly
+    and a sort+dedup merges all segments (ops/bitpack.combine_chunks).
+    """
+    B = pcm.shape[0]
+    S = config.frame_length
+    (tag, width), = config.elements
+    is_cpe = width == 2
+    chanbits = config.bit_depth + (1 if is_cpe else 0)
+    mb0, pb, kb, wb = _rice_params_static(config)
+    chans = [pcm[:, i, :] for i in range(width)]
+
+    res_win, order_win, mixres_win, _, rice_bits = _candidate_search(
+        chans, chanbits, config, is_cpe)
+
+    # ---- header token mini-assembly (tiny scatter over ~36 tokens) ----
+    parts_v, parts_l = [], []
+    hdr = jnp.full((B,), _header23(tag, 0, 0, False), dtype=U32)
+    parts_v.append(hdr[:, None]); parts_l.append(jnp.full((B, 1), 23, I32))
+    if is_cpe:
+        mixtok = (jnp.uint32(DEFAULT_MIX_BITS << 8)
+                  | (mixres_win.astype(U32) & 0xFF))
+        parts_v.append(mixtok[:, None])
+        parts_l.append(jnp.full((B, 1), 16, I32))
+    coefs0 = _init_coefs_batched(B)
+    for _ in range(width):
+        parts_v.append(_chparam_token(order_win)[:, None])
+        parts_l.append(jnp.full((B, 1), 16, I32))
+        cv, cl = _coef_tokens(coefs0, order_win)
+        parts_v.append(cv); parts_l.append(cl)
+    hv = jnp.concatenate(parts_v, axis=1)
+    hl = jnp.concatenate(parts_l, axis=1)
+    hdr_bits = jnp.sum(hl, axis=1)
+    hw_cap = (23 + 16 + width * (16 + 16 * kALACMaxCoefs) + 31) // 32 + 1
+    hdr_words, _ = bitpack.assemble(hv, hl, hw_cap)
+    hdr_nwords = (hdr_bits + 31) // 32
+    hkeys = jnp.arange(hw_cap, dtype=U32)[None, :]
+    hkeys = jnp.where(hkeys < hdr_nwords[:, None].astype(U32), hkeys,
+                      jnp.uint32(0xFFFFFFFF))
+
+    # ---- phase-aligned Rice word chunks, both channels in one scan ----
+    starts = [hdr_bits]
+    for ci in range(1, width):
+        starts.append(starts[-1] + rice_bits[ci - 1])
+    with jax.named_scope("alacjax.rice_words"):
+        cw, ck, end_bits = rice.rice_encode_words(
+            jnp.concatenate(res_win, axis=0), chanbits, mb0, pb, kb, wb,
+            jnp.concatenate(starts, axis=0))
+    chunk_ws = [cw[ci * B:(ci + 1) * B] for ci in range(width)]
+    chunk_ks = [ck[ci * B:(ci + 1) * B] for ci in range(width)]
+    total_c = starts[-1] + rice_bits[width - 1]
+
+    # ---- END tag (3 bits) at the known end position ----
+    phase = (total_c & 31).astype(U32)
+    end_hi = jnp.right_shift(jnp.uint32(7 << 29), phase)
+    end_lo = jnp.where(phase > 29,
+                       jnp.left_shift(jnp.uint32(7), (61 - phase) % 32),
+                       jnp.uint32(0))
+    ew = jnp.stack([end_hi, end_lo], axis=1)
+    ek = jnp.stack([(total_c >> 5).astype(U32),
+                    jnp.where(phase > 29, ((total_c >> 5) + 1).astype(U32),
+                              jnp.uint32(0xFFFFFFFF))], axis=1)
+
+    vals_c = jnp.concatenate([hdr_words] + chunk_ws + [ew], axis=1)
+    keys_c = jnp.concatenate([hkeys] + chunk_ks + [ek], axis=1)
+    bits_c = total_c + 3
+
+    # ---- escape stream + per-frame select (same rule as the token path:
+    # compressed element bits >= escape element bits) ----
+    esc_words, esc_bits = _escape_words16(chans, tag, 0)
+    use_escape = bits_c >= esc_bits
+    pad = vals_c.shape[1] - esc_words.shape[1]
+    esc_keys = jnp.broadcast_to(
+        jnp.arange(esc_words.shape[1], dtype=U32)[None, :], esc_words.shape)
+    ev = jnp.pad(esc_words, ((0, 0), (0, pad)))
+    ekk = jnp.pad(esc_keys, ((0, 0), (0, pad)),
+                  constant_values=np.uint32(0xFFFFFFFF))
+    vals = jnp.where(use_escape[:, None], ev, vals_c)
+    keys = jnp.where(use_escape[:, None], ekk, keys_c)
+    total_bits = jnp.where(use_escape, esc_bits, bits_c)
+
+    with jax.named_scope("alacjax.combine_chunks"):
+        words = bitpack.combine_chunks(vals, keys, num_words)
+    return words, total_bits
+
+
+def _fast_path_ok(config: AlacConfig) -> bool:
+    return (config.bit_depth == 16 and len(config.elements) == 1)
+
+
 def encode_frames_device(pcm, config: AlacConfig, num_words: int):
     """Jit core: (B, C, S) planar int32 -> ((B, W) words, (B,) total_bits)."""
+    if _fast_path_ok(config):
+        return _encode_packet_chunks_fast(pcm, config, num_words)
     B = pcm.shape[0]
     parts_v, parts_l = [], []
     ch = 0

@@ -56,14 +56,69 @@ def assemble(vals, lens, num_words: int):
     lo_shift = jnp.clip(32 + s, 1, 31).astype(U32)
     lo = jnp.where(nonempty & (s < 0), jnp.left_shift(v, lo_shift), 0)
 
+    # Per-lane scatter-add into the word image: the bit regions are
+    # disjoint, so add == or.  (An alternative formulation exploiting the
+    # monotone token->word mapping — cumsum + searchsorted + boundary
+    # differences — was A/B'd end-to-end and lost: 637 -> 426 frames/s.)
     def pack_lane(w_idx, hi_v, lo_v):
         out = jnp.zeros((num_words,), dtype=U32)
-        out = out.at[w_idx].add(hi_v, mode="drop")
-        out = out.at[w_idx + 1].add(lo_v, mode="drop")
+        # token offsets are monotone, so both index streams are sorted
+        out = out.at[w_idx].add(hi_v, mode="drop", indices_are_sorted=True)
+        out = out.at[w_idx + 1].add(lo_v, mode="drop", indices_are_sorted=True)
         return out
 
     words = jax.vmap(pack_lane)(w0, hi, lo)
     return words, total_bits
+
+
+def combine_chunks(words, keys, num_words: int, max_dups: int = 8):
+    """Merge sparse (absolute word index, word value) chunk streams into a
+    dense word image — the scatter-free packet assembler.
+
+    keys: (B, T) uint32 word indices (0xFFFFFFFF = empty slot).  Each real
+    word index appears at least once and at most a few times (segment
+    boundary words shared between header/channel/END streams, whose set
+    bits are disjoint, so duplicate values combine by addition).  Sort by
+    key (XLA's TPU sort is ~free at these shapes), chain-merge duplicate
+    runs into their first occurrence, then reconstruct positionally: after
+    sorting, the entry for word j sits at position j + (#duplicate extras
+    before j) <= j + max_dups, so max_dups+1 static shifts recover it.
+    """
+    B, T = words.shape
+    keys_s, words_s = jax.lax.sort((keys.astype(U32), words.astype(U32)),
+                                   dimension=1, num_keys=1)
+
+    # chain-merge duplicates into the first of each run
+    combined = words_s
+    same_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), keys_s[:, 1:] == keys_s[:, :-1]], axis=1)
+    run = jnp.ones((B, T), bool)
+    for r in range(1, max_dups + 1):
+        # run[i]: keys_s[i..i+r] all equal
+        nxt = jnp.concatenate(
+            [same_prev[:, r:], jnp.zeros((B, r), bool)], axis=1)
+        run = run & nxt
+        shifted = jnp.concatenate(
+            [words_s[:, r:], jnp.zeros((B, r), U32)], axis=1)
+        combined = combined + jnp.where(run, shifted, 0)
+    first = ~same_prev
+
+    # positional reconstruct
+    pad = max_dups + 1
+    keys_p = jnp.concatenate(
+        [keys_s, jnp.full((B, pad), 0xFFFFFFFF, U32)], axis=1)
+    comb_p = jnp.concatenate([combined, jnp.zeros((B, pad), U32)], axis=1)
+    first_p = jnp.concatenate([first, jnp.zeros((B, pad), bool)], axis=1)
+    jq = jnp.arange(num_words, dtype=U32)[None, :]
+    out = jnp.zeros((B, num_words), U32)
+    if T + pad < num_words + pad:
+        raise ValueError("chunk slot count smaller than output width")
+    for r in range(max_dups + 1):
+        k_r = keys_p[:, r:r + num_words]
+        c_r = comb_p[:, r:r + num_words]
+        f_r = first_p[:, r:r + num_words]
+        out = out + jnp.where((k_r == jq) & f_r, c_r, 0)
+    return out
 
 
 def words_to_bytes(words: np.ndarray, total_bits: np.ndarray) -> list[bytes]:

@@ -31,20 +31,29 @@ from .jaxutils import I32, U32, clz32, lg3a
 _U32_ONE = jnp.uint32(1)
 
 
+def _divmod_capped(n, m):
+    """(min(n // m, 9), n mod m for quotients < 9).
+
+    Uses the hardware u32 divide: an A/B against a 9-step conditional-
+    subtraction chain showed the chain's serial dependency costs more on
+    the VPU than the divide (end-to-end bench 637 -> 430 frames/s).
+    """
+    div = n // m
+    return jnp.minimum(div, jnp.uint32(MAX_PREFIX_32)).astype(I32), n - m * div
+
+
 def _dyn_code_32(bit_size: int, m, k, n):
     """Vectorized ag_enc.c :: dyn_code_32bit.
 
     Returns (esc, val1 u32, len1 i32): non-escape codeword, or the 9-ones
     escape prefix; escape payload is (n, bit_size) appended by the caller.
     """
-    div = n // m
-    div_c = jnp.minimum(div, jnp.uint32(MAX_PREFIX_32)).astype(I32)
-    mod = n - m * div
+    div, mod = _divmod_capped(n, m)
     de = (mod == 0).astype(I32)
-    nb = div_c + k + 1 - de
+    nb = div + k + 1 - de
     esc = (div >= MAX_PREFIX_32) | (nb > MAX_RICE_NUMBITS)
-    prefix = jnp.left_shift(_U32_ONE, div_c.astype(U32)) - 1
-    val = jnp.left_shift(prefix, (nb - div_c).astype(U32)) + mod + 1 - de.astype(U32)
+    prefix = jnp.left_shift(_U32_ONE, div.astype(U32)) - 1
+    val = jnp.left_shift(prefix, (nb - div).astype(U32)) + mod + 1 - de.astype(U32)
     val1 = jnp.where(esc, jnp.uint32((1 << MAX_PREFIX_32) - 1), val)
     len1 = jnp.where(esc, MAX_PREFIX_32, nb)
     return esc, val1, len1
@@ -53,14 +62,12 @@ def _dyn_code_32(bit_size: int, m, k, n):
 def _dyn_code_16(m, k, n):
     """Vectorized ag_enc.c :: dyn_code (zero-run lengths; n <= 65535)."""
     m = jnp.maximum(m, _U32_ONE)  # masked lanes may carry mz=0 garbage
-    div = n // m
-    div_c = jnp.minimum(div, jnp.uint32(MAX_PREFIX_16)).astype(I32)
+    div, mod = _divmod_capped(n, m)
     esc = div >= MAX_PREFIX_16
-    mod = n - m * div
     de = (mod == 0).astype(I32)
-    nb = div_c + k + 1 - de
-    prefix = jnp.left_shift(_U32_ONE, div_c.astype(U32)) - 1
-    val = jnp.left_shift(prefix, (nb - div_c).astype(U32)) + mod + 1 - de.astype(U32)
+    nb = div + k + 1 - de
+    val = jnp.left_shift(jnp.left_shift(_U32_ONE, div.astype(U32)) - 1,
+                         (nb - div).astype(U32)) + mod + 1 - de.astype(U32)
     val_esc = jnp.uint32(((1 << MAX_PREFIX_16) - 1) << 16) | n
     return jnp.where(esc, val_esc, val), jnp.where(esc, MAX_PREFIX_16 + 16, nb)
 
@@ -178,6 +185,91 @@ def rice_cost(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
     return total
 
 
+def _append_bits(acc, fill, wcount, v, L):
+    """Append the low-L bits of v (L <= 32, possibly 0) to the MSB-first
+    word accumulator.  Returns (acc', fill', wcount', emitted_word, emit?).
+
+    At most one word can complete per append.  All branchless.
+    """
+    L = jnp.asarray(L, I32)
+    Lc = jnp.minimum(L.astype(U32), jnp.uint32(31))
+    vmask = jnp.where(L >= 32, jnp.uint32(0xFFFFFFFF),
+                      jnp.left_shift(_U32_ONE, Lc) - 1)
+    v = v.astype(U32) & vmask
+
+    total = fill + L
+    ge = total >= 32
+    # completed word: acc's fill bits then the top (32 - fill) bits of v
+    sh_out = jnp.clip(total - 32, 0, 31).astype(U32)
+    out_word = acc | jnp.right_shift(v, sh_out)
+    # remainder: low (total-32) bits of v, MSB-aligned
+    rem = jnp.clip(total - 32, 0, 31).astype(U32)
+    acc_ge = jnp.where(rem == 0, jnp.uint32(0),
+                       jnp.left_shift(v, (32 - rem) % 32))
+    # no completion: v lands at offset `total` from MSB
+    sh_in = jnp.clip(32 - total, 0, 32).astype(U32)
+    acc_lt = acc | jnp.where(total >= 32, jnp.uint32(0),
+                             jnp.left_shift(v, jnp.minimum(sh_in, jnp.uint32(31))))
+    acc2 = jnp.where(ge, acc_ge, acc_lt)
+    fill2 = jnp.where(ge, total - 32, total)
+    wcount2 = wcount + ge.astype(I32)
+    return acc2, fill2, wcount2, out_word, ge
+
+
+def rice_encode_words(res, bit_size: int, mb0: int, pb, kb: int, wb: int,
+                      start_bits):
+    """Residuals (B, S) -> phase-aligned packed word chunks.
+
+    Instead of emitting (value, length) tokens for a later global scatter,
+    the scan carries a word accumulator seeded with the stream's absolute
+    bit phase (start_bits & 31) and emits completed 32-bit words with
+    their absolute word indices (start_bits >> 5 + count).  The caller
+    merges chunk streams with a sort + dedup (alacjax.ops.bitpack
+    .combine_chunks) — no scatter anywhere.
+
+    Returns (chunk_words (B, 4*(S+1)) u32, chunk_keys (B, 4*(S+1)) u32
+    with 0xFFFFFFFF marking empty slots, end_bits (B,) i32 = absolute end
+    position of the stream).
+    """
+    B, S = res.shape
+    start_bits = jnp.asarray(start_bits, I32)
+    base_word = start_bits >> 5
+    xs = jnp.concatenate([res.astype(I32).T,
+                          jnp.ones((1, B), dtype=I32)], axis=0)
+    ts = jnp.arange(S + 1, dtype=I32)
+    INF = jnp.uint32(0xFFFFFFFF)
+
+    def step(state, inp):
+        x, t = inp
+        rice_state, acc, fill, wcount = state[0], state[1], state[2], state[3]
+        rice_state, vals, lens = _encode_step_tokens(
+            x, t, rice_state, S=S, bit_size=bit_size, pb=pb, kb=kb, wb=wb)
+        out_w, out_k = [], []
+        for v, L in zip(vals, lens):
+            key = (base_word + wcount).astype(U32)
+            acc, fill, wcount, w, emit = _append_bits(acc, fill, wcount, v, L)
+            out_w.append(w)
+            out_k.append(jnp.where(emit, key, INF))
+        # final flush on the virtual step
+        is_end = t == S
+        flush = is_end & (fill > 0)
+        out_w.append(acc)
+        out_k.append(jnp.where(flush, (base_word + wcount).astype(U32), INF))
+        return (rice_state, acc, fill, wcount), (tuple(out_w), tuple(out_k))
+
+    state0 = (_init_state(B, mb0), jnp.zeros((B,), U32),
+              start_bits & 31, jnp.zeros((B,), I32))
+    (rice_state, acc, fill, wcount), (ws, ks) = jax.lax.scan(
+        step, state0, (xs, ts), unroll=4)
+
+    # (S+1, B, 4) -> (B, 4*(S+1)) in stream order
+    words = jnp.transpose(jnp.stack(ws, axis=-1), (1, 0, 2)).reshape(B, -1)
+    keys = jnp.transpose(jnp.stack(ks, axis=-1), (1, 0, 2)).reshape(B, -1)
+    # total bits consumed: final absolute position
+    end_bits = (base_word + wcount) * 32 + fill
+    return words, keys, end_bits
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
@@ -186,13 +278,19 @@ def _peek32(words, bitpos):
 
     ``bitpos`` may be (B,) (one cursor per lane) or (B, K) (vectorized
     field extraction, e.g. coefficient/shift-byte arrays)."""
-    W = words.shape[1]
+    B, W = words.shape
     squeeze = bitpos.ndim == 1
     bp = bitpos[:, None] if squeeze else bitpos
     w = (bp >> 5).astype(I32)
     sh = (bp & 31).astype(U32)
-    w0 = jnp.take_along_axis(words, jnp.clip(w, 0, W - 1), axis=1)
-    w1 = jnp.take_along_axis(words, jnp.clip(w + 1, 0, W - 1), axis=1)
+    # flat 1-D gather (row*W + col) lowers better than per-row
+    # take_along_axis on TPU
+    flat = words.reshape(-1)
+    rows = jnp.arange(B, dtype=I32)[:, None] * W
+    i0 = rows + jnp.clip(w, 0, W - 1)
+    i1 = rows + jnp.clip(w + 1, 0, W - 1)
+    w0 = flat[i0]
+    w1 = flat[i1]
     out = jnp.where(sh == 0, w0, jnp.left_shift(w0, sh)
                     | jnp.right_shift(w1, (32 - sh) % 32))
     return out[:, 0] if squeeze else out
@@ -203,6 +301,40 @@ def _read_bits(words, bitpos, nbits):
     stream = _peek32(words, bitpos)
     nb = jnp.asarray(nbits, dtype=U32)
     nb_c = jnp.minimum(nb, jnp.uint32(31))  # avoid shift-by-32 (undefined)
+    mask = jnp.where(nb >= 32, jnp.uint32(0xFFFFFFFF),
+                     jnp.left_shift(_U32_ONE, nb_c) - 1)
+    return jnp.right_shift(stream, (32 - nb) % 32) & mask
+
+
+def _fetch128(words, bitpos):
+    """Fetch four consecutive words at the cursor — one fetch serves every
+    bit read of a full decode step (cursor phase <= 31, residual codeword
+    <= 41 bits, zero-run peek at phase+41 reading 32: max 104 < 128).
+
+    Returns ((w0..w3), phase=bitpos & 31)."""
+    B, W = words.shape
+    flat = words.reshape(-1)
+    base = jnp.arange(B, dtype=I32) * W
+    w = (bitpos >> 5).astype(I32)
+    ws = tuple(flat[base + jnp.clip(w + i, 0, W - 1)] for i in range(4))
+    return ws, (bitpos & 31).astype(U32)
+
+
+def _window_read32(ws, off):
+    """Read 32 bits at bit offset ``off`` (0..95) within the 128-b window."""
+    idx = off >> 5
+    a = jnp.where(idx == 0, ws[0], jnp.where(idx == 1, ws[1], ws[2]))
+    b = jnp.where(idx == 0, ws[1], jnp.where(idx == 1, ws[2], ws[3]))
+    sh = (off & 31).astype(U32)
+    return jnp.where(sh == 0, a,
+                     jnp.left_shift(a, sh) | jnp.right_shift(b, (32 - sh) % 32))
+
+
+def _window_bits(ws, off, nbits):
+    """Read ``nbits`` (<=32, per-lane) at ``off`` (0..95) in the window."""
+    stream = _window_read32(ws, off)
+    nb = jnp.asarray(nbits, dtype=U32)
+    nb_c = jnp.minimum(nb, jnp.uint32(31))
     mask = jnp.where(nb >= 32, jnp.uint32(0xFFFFFFFF),
                      jnp.left_shift(_U32_ONE, nb_c) - 1)
     return jnp.right_shift(stream, (32 - nb) % 32) & mask
@@ -229,7 +361,10 @@ def rice_decode(words, start_bits, num_samples: int, bit_size,
         k = jnp.minimum(lg3a(m0), kb)
         m = jnp.left_shift(_U32_ONE, k.astype(U32)) - 1
 
-        stream = _peek32(words, bitpos)
+        # one 4-word fetch serves every bit read of this step
+        ws, phase = _fetch128(words, bitpos)
+
+        stream = _window_read32(ws, phase)
         pre = clz32(~stream)
         esc = pre >= MAX_PREFIX_32
         v = jnp.right_shift(jnp.left_shift(stream, (pre + 1).astype(U32)),
@@ -239,7 +374,7 @@ def rice_decode(words, start_bits, num_samples: int, bit_size,
         n_plain = (pre.astype(U32) * m
                    + jnp.where(use_v & vge2, v - 1, jnp.uint32(0)))
         adv_plain = pre + 1 + jnp.where(use_v, jnp.where(vge2, k, k - 1), 0)
-        raw = _read_bits(words, bitpos + MAX_PREFIX_32, bit_size)
+        raw = _window_bits(ws, phase + MAX_PREFIX_32, bit_size)
         n = jnp.where(esc, raw, n_plain)
         adv = jnp.where(esc, MAX_PREFIX_32 + bit_size, adv_plain)
 
@@ -257,8 +392,8 @@ def rice_decode(words, start_bits, num_samples: int, bit_size,
 
         trigger = active & ((mb1 << MMULSHIFT) < QB) & (c1 < S)
         kz, mz = _run_kz_mz(mb1, wb)
-        pos_run = bitpos + adv
-        stream2 = _peek32(words, pos_run)
+        off_run = phase + adv
+        stream2 = _window_read32(ws, off_run)
         pre2 = clz32(~stream2)
         esc2 = pre2 >= MAX_PREFIX_16
         v2 = jnp.right_shift(jnp.left_shift(stream2, (pre2 + 1).astype(U32)),
@@ -268,7 +403,7 @@ def rice_decode(words, start_bits, num_samples: int, bit_size,
                     + jnp.where((kz != 1) & v2ge2, v2 - 1, jnp.uint32(0)))
         adv2_plain = pre2 + 1 + jnp.where(kz != 1,
                                           jnp.where(v2ge2, kz, kz - 1), 0)
-        raw2 = _read_bits(words, pos_run + MAX_PREFIX_16, 16)
+        raw2 = _window_bits(ws, off_run + MAX_PREFIX_16, 16)
         nz = jnp.where(esc2, raw2, nz_plain)
         adv2 = jnp.where(esc2, MAX_PREFIX_16 + 16, adv2_plain)
 

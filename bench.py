@@ -58,6 +58,19 @@ def make_music(nf: int, S: int, seed: int = 7) -> np.ndarray:
 
 def main() -> int:
     import jax
+
+    # Persistent compilation cache: TPU compiles of the full pipeline are
+    # slow (and the remote-compile service occasionally stalls); caching
+    # makes reruns start in seconds.
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     from alacjax.codec import get_codec
     from alacjax.types import AlacConfig
