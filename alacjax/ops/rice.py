@@ -348,21 +348,56 @@ def rice_decode(words, start_bits, num_samples: int, bit_size,
     start_bits: (B,) bit offset where each lane's Rice stream begins.
     bit_size: escape payload width (scalar or per-lane (B,)).
     Returns (residuals (B, S) i32, end_bits (B,), error (B,) bool).
+
+    Per-lane random access is the expensive primitive on TPU, so the scan
+    carries a 16-word block cache per lane (as 16 separate (B,) vectors —
+    rotation is free) and refills it with ONE aligned 8-word row gather
+    per step, instead of 4+ scattered word gathers.  Bit reads then come
+    from cheap vectorized selects over the cached block.
     """
-    B = words.shape[0]
+    B, W = words.shape
     S = num_samples
     bit_size = jnp.broadcast_to(jnp.asarray(bit_size, dtype=I32), (B,))
 
+    # pad to 8-word rows for aligned block fetches
+    W8 = (W + 7) // 8
+    if W8 * 8 != W:
+        words = jnp.pad(words, ((0, 0), (0, W8 * 8 - W)))
+    rows = words.reshape(B * W8, 8)
+    lane_row0 = jnp.arange(B, dtype=I32) * W8
+
+    def fetch_block(block_idx):
+        """One gather: 8 consecutive words starting at word 8*block_idx."""
+        r = jnp.take(rows, lane_row0 + jnp.clip(block_idx, 0, W8 - 1),
+                     axis=0)
+        return tuple(r[:, i] for i in range(8))
+
+    start_bits = jnp.asarray(start_bits, I32)
+    base0 = (start_bits >> 5) & ~jnp.int32(7)
+    blk0 = fetch_block(base0 >> 3) + fetch_block((base0 >> 3) + 1)
+
+    # worst-case bits consumed per step: residual (9+bit_size) + run (25)
+    max_adv_words = (9 + 32 + 25) // 32 + 1
+
     def step(state, _):
-        bitpos, mb, c, zmode, err = state
+        bitpos, mb, c, zmode, err, blk_base = state[:6]
+        blk = state[6:]
         active = c < S
 
         m0 = mb >> QBSHIFT
         k = jnp.minimum(lg3a(m0), kb)
         m = jnp.left_shift(_U32_ONE, k.astype(U32)) - 1
 
-        # one 4-word fetch serves every bit read of this step
-        ws, phase = _fetch128(words, bitpos)
+        # 4-word window out of the cached block (rel in [0, 8+max_adv))
+        rel = (bitpos >> 5) - blk_base
+        ws = []
+        for i in range(4):
+            v = blk[0]
+            for j in range(1, 8 + max_adv_words + 1):
+                v = jnp.where(rel + i == j, blk[j], v)
+            ws.append(v)
+        ws = tuple(ws)
+        phase = (bitpos & 31).astype(U32)
 
         stream = _window_read32(ws, phase)
         pre = clz32(~stream)
@@ -420,14 +455,24 @@ def rice_decode(words, start_bits, num_samples: int, bit_size,
                             bitpos + adv + jnp.where(trigger, adv2, 0), bitpos)
         c2 = jnp.where(active, c2, c)
 
+        # block-cache refill: one aligned 8-word gather per step
+        need = ((bitpos2 >> 5) - blk_base) >= 8
+        nxt = fetch_block(jnp.where(need, (blk_base >> 3) + 2,
+                                    (blk_base >> 3) + 1))
+        blk2 = tuple(jnp.where(need, blk[i + 8], blk[i]) for i in range(8)) \
+            + tuple(jnp.where(need, nxt[i], blk[i + 8]) for i in range(8))
+        blk_base2 = jnp.where(need, blk_base + 8, blk_base)
+
         emit_idx = jnp.where(active, c, S)  # S = dropped by scatter
-        return (bitpos2, mb2, c2, zmode2, err), (emit_idx, delta)
+        return ((bitpos2, mb2, c2, zmode2, err, blk_base2) + blk2,
+                (emit_idx, delta))
 
     state0 = (start_bits.astype(I32), jnp.full((B,), mb0, dtype=U32),
               jnp.zeros((B,), dtype=I32), jnp.zeros((B,), dtype=U32),
-              jnp.zeros((B,), dtype=bool))
-    (end_bits, _, _, _, err), (idx, vals) = jax.lax.scan(
+              jnp.zeros((B,), dtype=bool), base0) + blk0
+    final_state, (idx, vals) = jax.lax.scan(
         step, state0, None, length=S, unroll=4)
+    end_bits, err = final_state[0], final_state[4]
 
     # scatter the (step, lane) emissions into (B, S); runs stay zero
     def scatter_lane(i, v):
