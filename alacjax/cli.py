@@ -46,8 +46,21 @@ def main(argv=None) -> int:
         try:
             from .convert import get_backend
             get_backend("jax")
+            # importing jax is not enough — probe an actual device op
+            # (backend init can fail at first compute, e.g. when no
+            # accelerator is reachable)
+            import jax.numpy as jnp
+            int(jnp.zeros((1,), jnp.int32).sum())
             backend = "jax"
         except Exception:
+            backend = "oracle"
+    elif backend == "jax":
+        try:
+            import jax.numpy as jnp
+            int(jnp.zeros((1,), jnp.int32).sum())
+        except Exception as e:
+            print(f"alacconvert: jax backend unavailable ({e}); "
+                  "falling back to oracle", file=sys.stderr)
             backend = "oracle"
 
     import time

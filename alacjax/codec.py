@@ -39,11 +39,11 @@ from .oracle import ALACDecoder as OracleDecoder
 from .oracle import ALACEncoder as OracleEncoder
 from .oracle.encoder import (
     DEFAULT_MIX_BITS, FAST_MIX_RES, FAST_ORDER, MAX_RES, PB_FACTOR,
-    SEARCH_ORDERS, bytes_shifted_for_depth,
+    PROXY_SHIFT, SEARCH_ORDERS, bytes_shifted_for_depth,
 )
 from .oracle import dp as oracle_dp
 from .ops import bitpack, matrix, predict, rice
-from .ops.jaxutils import I32, U32, sign_extend
+from .ops.jaxutils import I32, U32, iota1, sign_extend
 from .types import (
     DENSHIFT_DEFAULT, ElementTag, AlacConfig, AlacParamError,
     kALACMaxCoefs,
@@ -56,11 +56,16 @@ DEFAULT_CHUNK = 256  # frames per jit invocation (padded; 2 compiles/config)
 # token-building helpers (encode)
 # ---------------------------------------------------------------------------
 def _const_tokens(B, vals_lens):
-    """Broadcast a python list of (value, nbits) into (B, T) token arrays."""
-    v = jnp.asarray([v for v, _ in vals_lens], dtype=U32)
-    l = jnp.asarray([l for _, l in vals_lens], dtype=I32)
-    return (jnp.broadcast_to(v, (B, len(vals_lens))),
-            jnp.broadcast_to(l, (B, len(vals_lens))))
+    """Broadcast a python list of (value, nbits) into (B, T) token arrays
+    (in-graph: iota+selects, not hoisted host constants)."""
+    n = len(vals_lens)
+    idx = iota1(n, U32)
+    v = jnp.zeros((n,), U32)
+    l = jnp.zeros((n,), I32)
+    for i, (vv, ll) in enumerate(vals_lens):
+        v = jnp.where(idx == i, jnp.uint32(vv), v)
+        l = jnp.where(idx == i, jnp.int32(ll), l)
+    return jnp.broadcast_to(v, (B, n)), jnp.broadcast_to(l, (B, n))
 
 
 def _header23(tag, instance, bytes_shifted, escape):
@@ -77,7 +82,7 @@ def _coef_tokens(coefs, order):
     """(B,16) coef values + per-lane order -> 16 token slots."""
     B = coefs.shape[0]
     vals = coefs.astype(I32).astype(U32) & jnp.uint32(0xFFFF)
-    ks = jnp.arange(kALACMaxCoefs, dtype=I32)[None, :]
+    ks = iota1(kALACMaxCoefs)[None, :]
     lens = jnp.where(ks < order[:, None], 16, 0).astype(I32)
     return vals, lens
 
@@ -94,8 +99,13 @@ def _rice_params_static(config: AlacConfig):
 
 
 def _init_coefs_batched(B):
-    c0 = np.asarray(oracle_dp.init_coefs(DENSHIFT_DEFAULT), dtype=np.int32)
-    return jnp.broadcast_to(jnp.asarray(c0), (B, kALACMaxCoefs))
+    # built in-graph (iota + selects) rather than as a hoisted host constant
+    vals = [int(v) for v in oracle_dp.init_coefs(DENSHIFT_DEFAULT)]
+    ks = iota1(kALACMaxCoefs)
+    row = jnp.zeros((kALACMaxCoefs,), I32)
+    for i, v in enumerate(vals[:3]):
+        row = jnp.where(ks == i, jnp.int32(v), row)
+    return jnp.broadcast_to(row, (B, kALACMaxCoefs))
 
 
 def _candidate_search(chans, chanbits, config, is_cpe):
@@ -109,26 +119,41 @@ def _candidate_search(chans, chanbits, config, is_cpe):
     mb0, pb, kb, wb = _rice_params_static(config)
 
     if config.fast_mode:
-        mix_list = [FAST_MIX_RES] if is_cpe else [0]
         orders = [FAST_ORDER]
     else:
-        mix_list = list(range(MAX_RES + 1)) if is_cpe else [0]
         orders = list(SEARCH_ORDERS)
-    # candidate enumeration order must match the oracle: mixres outer,
-    # order inner, first minimum wins
-    cands = [(mr, od) for mr in mix_list for od in orders]
-    C = len(cands)
+    C = len(orders)
 
     if is_cpe:
-        mixed = {mr: matrix.mix(chans[0], chans[1], DEFAULT_MIX_BITS, mr)
-                 for mr in mix_list}
-        stacks = [jnp.concatenate([mixed[mr][ci] for mr, _ in cands], axis=0)
-                  for ci in range(2)]
+        if config.fast_mode:
+            mixres_sel = jnp.full((B,), FAST_MIX_RES, dtype=I32)
+        else:
+            # stereo mode by the deterministic proxy (matches
+            # oracle.encoder.mixres_proxy_cost: uint32-wrapped sum of
+            # |first difference| >> PROXY_SHIFT over both channels)
+            best_p = None
+            mixres_sel = jnp.zeros((B,), dtype=I32)
+            for mr in range(MAX_RES + 1):
+                u, v = matrix.mix(chans[0], chans[1], DEFAULT_MIX_BITS, mr)
+                du = jnp.abs(u[:, 1:] - u[:, :-1]).astype(U32) >> PROXY_SHIFT
+                dv = jnp.abs(v[:, 1:] - v[:, :-1]).astype(U32) >> PROXY_SHIFT
+                p = jnp.sum(du, axis=1) + jnp.sum(dv, axis=1)
+                if best_p is None:
+                    best_p = p
+                else:
+                    better = p < best_p
+                    mixres_sel = jnp.where(better, mr, mixres_sel)
+                    best_p = jnp.where(better, p, best_p)
+        u, v = matrix.mix(chans[0], chans[1], DEFAULT_MIX_BITS,
+                          mixres_sel[:, None])
+        stacks = [jnp.concatenate([u] * C, axis=0),
+                  jnp.concatenate([v] * C, axis=0)]
     else:
+        mixres_sel = jnp.zeros((B,), dtype=I32)
         stacks = [jnp.concatenate([chans[0]] * C, axis=0)]
 
     na = jnp.concatenate(
-        [jnp.full((B,), od, dtype=I32) for _, od in cands], axis=0)
+        [jnp.full((B,), od, dtype=I32) for od in orders], axis=0)
     coefs0 = _init_coefs_batched(C * B)
 
     res_list, ch_costs = [], []
@@ -158,9 +183,10 @@ def _candidate_search(chans, chanbits, config, is_cpe):
         jnp.take_along_axis(c.reshape(C, B), win[None, :], axis=0)[0]
         for c in ch_costs
     ]
-    order_win = jnp.asarray([od for _, od in cands], dtype=I32)[win]
-    mixres_win = jnp.asarray([mr for mr, _ in cands], dtype=I32)[win]
-    return res_win, order_win, mixres_win, body_bits, rice_bits_win
+    order_win = jnp.full((B,), orders[0], dtype=I32)
+    for oi, od in enumerate(orders[1:], start=1):
+        order_win = jnp.where(win == oi, od, order_win)
+    return res_win, order_win, mixres_sel, body_bits, rice_bits_win
 
 
 def _encode_element_tokens(pcm_elem, tag, instance, config: AlacConfig):
@@ -318,7 +344,7 @@ def _encode_packet_chunks_fast(pcm, config: AlacConfig, num_words: int):
     hw_cap = (23 + 16 + width * (16 + 16 * kALACMaxCoefs) + 31) // 32 + 1
     hdr_words, _ = bitpack.assemble(hv, hl, hw_cap)
     hdr_nwords = (hdr_bits + 31) // 32
-    hkeys = jnp.arange(hw_cap, dtype=U32)[None, :]
+    hkeys = iota1(hw_cap, U32)[None, :]
     hkeys = jnp.where(hkeys < hdr_nwords[:, None].astype(U32), hkeys,
                       jnp.uint32(0xFFFFFFFF))
 
@@ -355,7 +381,7 @@ def _encode_packet_chunks_fast(pcm, config: AlacConfig, num_words: int):
     use_escape = bits_c >= esc_bits
     pad = vals_c.shape[1] - esc_words.shape[1]
     esc_keys = jnp.broadcast_to(
-        jnp.arange(esc_words.shape[1], dtype=U32)[None, :], esc_words.shape)
+        iota1(esc_words.shape[1], U32)[None, :], esc_words.shape)
     ev = jnp.pad(esc_words, ((0, 0), (0, pad)))
     ekk = jnp.pad(esc_keys, ((0, 0), (0, pad)),
                   constant_values=np.uint32(0xFFFFFFFF))
@@ -370,6 +396,26 @@ def _encode_packet_chunks_fast(pcm, config: AlacConfig, num_words: int):
 
 def _fast_path_ok(config: AlacConfig) -> bool:
     return (config.bit_depth == 16 and len(config.elements) == 1)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "num_words"))
+def encode_frames_jit(pcm, config: AlacConfig, num_words: int):
+    """Single module-level jit entry for encode (static config).
+
+    One jit instance for the whole process: per-codec jit wrappers around
+    fresh functools.partial objects intermittently dispatched the WRONG
+    executable in long multi-config runs ("Execution supplied 1 buffers
+    but compiled program expected 3") — an executable-identity hazard this
+    layout avoids.
+    """
+    return encode_frames_device(pcm, config=config, num_words=num_words)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "num_samples"))
+def decode_frames_jit(words, config: AlacConfig, num_samples: int):
+    """Single module-level jit entry for decode (static config)."""
+    return decode_frames_device(words, config=config,
+                                num_samples=num_samples)
 
 
 def encode_frames_device(pcm, config: AlacConfig, num_words: int):
@@ -409,7 +455,7 @@ def encode_frames_device(pcm, config: AlacConfig, num_words: int):
 def _extract_samples(words, base_bits, count: int, stride_bits, width_bits):
     """Vectorized field array read: sample j at base + j*stride, ``width``
     bits each.  All of base/stride/width may be per-lane (B,) arrays."""
-    j = jnp.arange(count, dtype=I32)[None, :]
+    j = iota1(count)[None, :]
     pos = base_bits[:, None] + j * (stride_bits[:, None]
                                     if hasattr(stride_bits, "ndim")
                                     else stride_bits)
@@ -440,6 +486,27 @@ def _unpredict(res, coefs, mode, order, chanbits, den):
     return out
 
 
+def _unescape_words16(words, nch: int, S: int):
+    """Escape-sample extraction for depth-16 single-element packets via
+    strided slicing (field bit offsets are affine in the word index) —
+    the inverse of _escape_words16; avoids a (B, S) gather per channel.
+
+    Returns list of nch (B, S) int32 channel arrays."""
+    need = (23 + 16 * nch * S + 31) // 32 + 1
+    W = words.shape[1]
+    w = words if W >= need else jnp.pad(words, ((0, 0), (0, need - W)))
+    n_fields = nch * S
+    m = (n_fields + 1) // 2
+    even = ((w[:, 0:m] & 0x1FF) << 7) | (w[:, 1:m + 1] >> 25)
+    odd = (w[:, 1:m + 1] >> 9) & jnp.uint32(0xFFFF)
+    f = jnp.stack([even[:, :m], odd[:, :m]], axis=-1).reshape(
+        w.shape[0], 2 * m)[:, :n_fields]
+    f = sign_extend(f.astype(I32), 16)
+    if nch == 2:
+        return [f[:, 0::2], f[:, 1::2]]
+    return [f]
+
+
 def decode_frames_device(words, config: AlacConfig, num_samples: int):
     """Jit core: (B, W) word image -> ((B, C, S) pcm, (B,) err flags)."""
     B = words.shape[0]
@@ -459,9 +526,15 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
         rtag = (hdr >> 20).astype(I32)
         unused = (hdr >> 4) & 0xFFF
         partial = (hdr >> 3) & 1
-        bs = ((hdr >> 1) & 3).astype(I32)
+        bs_f = ((hdr >> 1) & 3).astype(I32)
         esc = (hdr & 1).astype(bool)
-        err = err | (rtag != int(tag)) | (unused != 0) | (partial != 0) | (bs == 3)
+        # bytesShifted is depth-determined for every known encoder; frames
+        # deviating from it fall back to the oracle (via the error flag),
+        # which makes bs/chanbits STATIC: no zero-width shift gathers, and
+        # the Rice escape width becomes a compile-time scalar.
+        bs = bytes_shifted_for_depth(depth)
+        err = (err | (rtag != int(tag)) | (unused != 0) | (partial != 0)
+               | (~esc & (bs_f != bs)) | (esc & (bs_f != 0)))
         bitpos = bitpos + 23
         pos_esc = bitpos
 
@@ -492,33 +565,42 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
             mode, den, pbf, order, coefs = params[ci]
             pb_lane = (config.pb * pbf) // 4
             res, bitpos_n, rerr = rice.rice_decode(
-                words, bitpos, S, chanbits, mb0, pb_lane, kb, wb)
+                words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
+                max_bit_size=chanbits)
             bitpos = jnp.where(esc, bitpos, bitpos_n)
             err = err | (~esc & rerr)
             recon.append(_unpredict(res, coefs, mode, order, chanbits, den))
 
-        # shift side-channel re-insert
-        outs = []
-        for ci in range(width):
-            base = pos_shift + ci * 8 * bs
-            sv = _extract_samples(words, base, S, width * 8 * bs, 8 * bs)
-            outs.append((recon[ci], sv.astype(I32)))
+        # shift side-channel re-insert (static: absent when bs == 0)
+        if bs:
+            shifts = [
+                _extract_samples(words, pos_shift + ci * 8 * bs, S,
+                                 width * 8 * bs, 8 * bs).astype(I32)
+                for ci in range(width)
+            ]
+        else:
+            shifts = [jnp.zeros((B, S), I32)] * width
 
         if is_cpe:
-            l, r = matrix.unmix(outs[0][0], outs[1][0],
+            l, r = matrix.unmix(recon[0], recon[1],
                                 mixbits_f[:, None], mixres_f[:, None])
-            dec = [matrix.shift_in(l, outs[0][1], bs[:, None]),
-                   matrix.shift_in(r, outs[1][1], bs[:, None])]
+            dec = [matrix.shift_in(l, shifts[0], bs),
+                   matrix.shift_in(r, shifts[1], bs)]
         else:
-            dec = [matrix.shift_in(outs[0][0], outs[0][1], bs[:, None])]
+            dec = [matrix.shift_in(recon[0], shifts[0], bs)]
 
         # escape lanes: raw samples at static stride from pos_esc
         esc_end = pos_esc + width * S * depth
+        if _fast_path_ok(config):
+            # single element at bit 0: field offsets are static -> sliced
+            raws = _unescape_words16(words, width, S)
+        else:
+            raws = [sign_extend(
+                _extract_samples(words, pos_esc + ci * depth, S,
+                                 width * depth, depth).astype(I32), depth)
+                for ci in range(width)]
         for ci in range(width):
-            raw = _extract_samples(words, pos_esc + ci * depth, S,
-                                   width * depth, depth)
-            raw = sign_extend(raw.astype(I32), depth)
-            out_ch.append(jnp.where(esc[:, None], raw, dec[ci]))
+            out_ch.append(jnp.where(esc[:, None], raws[ci], dec[ci]))
         bitpos = jnp.where(esc, esc_end, bitpos)
 
     pcm = jnp.stack(out_ch, axis=1)
@@ -536,10 +618,33 @@ class JaxCodec:
         self.chunk = chunk
         S = config.frame_length
         self.num_words = (config.max_escape_packet_bytes(S) + 3) // 4 + 2
-        self._encode = jax.jit(functools.partial(
-            encode_frames_device, config=config, num_words=self.num_words))
-        self._decode = jax.jit(functools.partial(
-            decode_frames_device, config=config, num_samples=S))
+        self._exe = {}
+
+    # NOTE: calls go through ahead-of-time compiled executables rather
+    # than the jit dispatch fastpath: on this jax build the fastpath
+    # intermittently paired a repeat call with the wrong executable
+    # ("Execution supplied 1 buffers but compiled program expected 3") in
+    # long multi-config processes.  AOT Compiled objects dispatch directly.
+    def _aot(self, kind, fn, x):
+        key = (kind, x.shape, str(x.dtype))
+        exe = self._exe.get(key)
+        if exe is None:
+            exe = jax.jit(fn).lower(x).compile()
+            self._exe[key] = exe
+        return exe(x)
+
+    def _encode(self, pcm):
+        cfg, nw = self.config, self.num_words
+        return self._aot(
+            "enc", lambda p: encode_frames_device(p, config=cfg,
+                                                  num_words=nw), pcm)
+
+    def _decode(self, words):
+        cfg = self.config
+        return self._aot(
+            "dec", lambda w: decode_frames_device(w, config=cfg,
+                                                  num_samples=cfg.frame_length),
+            words)
 
     # -- encode ---------------------------------------------------------
     def encode_frames(self, pcm: np.ndarray) -> list[bytes]:

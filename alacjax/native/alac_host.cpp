@@ -469,14 +469,41 @@ void encode_element(const Config& cfg, EncState* st, BitWriter& bw,
     }
   }
 
-  int mix_list[5], n_mix = 1;
+  // stereo mode by deterministic first-difference proxy (matches
+  // alacjax.oracle.encoder.mixres_proxy_cost: uint32-wrapped sum of
+  // |delta| >> 4 over both mixed channels, argmin, first wins ties),
+  // then exact order search
+  int mix_list[1], n_mix = 1;
   int orders[2], n_ord;
   if (cfg.fast_mode) {
     mix_list[0] = is_cpe ? FAST_MIX_RES : 0;
     orders[0] = FAST_ORDER; n_ord = 1;
   } else {
-    if (is_cpe) { n_mix = MAX_RES + 1; for (int i = 0; i < n_mix; i++) mix_list[i] = i; }
-    else mix_list[0] = 0;
+    int best_mr = 0;
+    if (is_cpe) {
+      uint32_t best_p = 0;
+      for (int mr = 0; mr <= MAX_RES; mr++) {
+        uint32_t p = 0;
+        const int32_t mod = 1 << DEFAULT_MIX_BITS, m2 = mod - mr;
+        int32_t pu = 0, pv = 0;
+        for (int j = 0; j < num; j++) {
+          int32_t l = hi_buf[0][j], r = hi_buf[1][j];
+          int32_t uu, vv;
+          if (mr != 0) {
+            uu = (int32_t)((uint32_t)mr * (uint32_t)l + (uint32_t)m2 * (uint32_t)r) >> DEFAULT_MIX_BITS;
+            vv = (int32_t)((uint32_t)l - (uint32_t)r);
+          } else { uu = l; vv = r; }
+          if (j) {
+            int64_t du = (int64_t)uu - pu, dv = (int64_t)vv - pv;
+            p += (uint32_t)((du < 0 ? -du : du) >> 4);
+            p += (uint32_t)((dv < 0 ? -dv : dv) >> 4);
+          }
+          pu = uu; pv = vv;
+        }
+        if (mr == 0 || p < best_p) { best_p = p; best_mr = mr; }
+      }
+    }
+    mix_list[0] = best_mr;
     orders[0] = SEARCH_ORDERS[0]; orders[1] = SEARCH_ORDERS[1]; n_ord = 2;
   }
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .jaxutils import I32, U32
+from .jaxutils import I32, U32, iota1
 
 
 def assemble(vals, lens, num_words: int):
@@ -109,7 +109,7 @@ def combine_chunks(words, keys, num_words: int, max_dups: int = 8):
         [keys_s, jnp.full((B, pad), 0xFFFFFFFF, U32)], axis=1)
     comb_p = jnp.concatenate([combined, jnp.zeros((B, pad), U32)], axis=1)
     first_p = jnp.concatenate([first, jnp.zeros((B, pad), bool)], axis=1)
-    jq = jnp.arange(num_words, dtype=U32)[None, :]
+    jq = iota1(num_words, U32)[None, :]
     out = jnp.zeros((B, num_words), U32)
     if T + pad < num_words + pad:
         raise ValueError("chunk slot count smaller than output width")

@@ -50,3 +50,15 @@ def wrap_u32(x):
 def arith_shift_right(x, n):
     """C ``>>`` on int32 (arithmetic)."""
     return jnp.right_shift(x.astype(I32), n)
+
+
+def iota1(n: int, dtype=I32):
+    """1-D iota as an in-graph HLO op.
+
+    Use instead of jnp.arange inside traced code: arange materializes a
+    concrete host constant, and on this jax build hoisted constants are
+    intermittently LOST on repeat executions ("Computation compiled for N
+    inputs but called with 1" / "Execution supplied 1 buffers...").
+    lax.broadcasted_iota stays inside the program.
+    """
+    return jax.lax.broadcasted_iota(dtype, (n,), 0)

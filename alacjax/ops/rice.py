@@ -21,14 +21,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..types import (
     BITOFF, MAX_PREFIX_16, MAX_PREFIX_32, MAX_RICE_NUMBITS, MDENSHIFT,
     MMULSHIFT, MOFF, N_MAX_MEAN_CLAMP, N_MEAN_CLAMP_VAL, PBSHIFT, QB, QBSHIFT,
 )
-from .jaxutils import I32, U32, clz32, lg3a
+from .jaxutils import I32, U32, clz32, iota1, lg3a
 
-_U32_ONE = jnp.uint32(1)
+# numpy scalar, NOT jnp: a module-level jnp array becomes a hoisted
+# executable constant, which this jax build loses on repeat calls
+_U32_ONE = np.uint32(1)
 
 
 def _divmod_capped(n, m):
@@ -150,7 +153,7 @@ def rice_encode_tokens(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
     B, S = res.shape
     xs = jnp.concatenate([res.astype(I32).T,
                           jnp.ones((1, B), dtype=I32)], axis=0)  # virtual step
-    ts = jnp.arange(S + 1, dtype=I32)
+    ts = iota1(S + 1)
 
     def step(state, inp):
         x, t = inp
@@ -170,7 +173,7 @@ def rice_cost(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
     B, S = res.shape
     xs = jnp.concatenate([res.astype(I32).T,
                           jnp.ones((1, B), dtype=I32)], axis=0)
-    ts = jnp.arange(S + 1, dtype=I32)
+    ts = iota1(S + 1)
 
     def step(carry, inp):
         state, total = carry
@@ -236,33 +239,46 @@ def rice_encode_words(res, bit_size: int, mb0: int, pb, kb: int, wb: int,
     base_word = start_bits >> 5
     xs = jnp.concatenate([res.astype(I32).T,
                           jnp.ones((1, B), dtype=I32)], axis=0)
-    ts = jnp.arange(S + 1, dtype=I32)
+    ts = iota1(S + 1)
     INF = jnp.uint32(0xFFFFFFFF)
+
+    # at most floor((31 + run<=25 + prefix 9 + bit_size)/32) words can
+    # complete per step; +1 slot headroom for the virtual-step flush
+    n_slots = (31 + 25 + MAX_PREFIX_32 + bit_size) // 32
 
     def step(state, inp):
         x, t = inp
         rice_state, acc, fill, wcount = state[0], state[1], state[2], state[3]
         rice_state, vals, lens = _encode_step_tokens(
             x, t, rice_state, S=S, bit_size=bit_size, pb=pb, kb=kb, wb=wb)
-        out_w, out_k = [], []
+        slot_w = [jnp.zeros((B,), U32) for _ in range(n_slots)]
+        slot_k = [jnp.full((B,), 0xFFFFFFFF, U32) for _ in range(n_slots)]
+        n_emitted = jnp.zeros((B,), I32)
         for v, L in zip(vals, lens):
             key = (base_word + wcount).astype(U32)
             acc, fill, wcount, w, emit = _append_bits(acc, fill, wcount, v, L)
-            out_w.append(w)
-            out_k.append(jnp.where(emit, key, INF))
-        # final flush on the virtual step
-        is_end = t == S
-        flush = is_end & (fill > 0)
-        out_w.append(acc)
-        out_k.append(jnp.where(flush, (base_word + wcount).astype(U32), INF))
-        return (rice_state, acc, fill, wcount), (tuple(out_w), tuple(out_k))
+            for si in range(n_slots):
+                hit = emit & (n_emitted == si)
+                slot_w[si] = jnp.where(hit, w, slot_w[si])
+                slot_k[si] = jnp.where(hit, key, slot_k[si])
+            n_emitted = n_emitted + emit.astype(I32)
+        # final flush on the virtual step (only the run token can emit
+        # there, so a free slot always exists)
+        flush = (t == S) & (fill > 0)
+        fkey = (base_word + wcount).astype(U32)
+        for si in range(n_slots):
+            hit = flush & (n_emitted == si)
+            slot_w[si] = jnp.where(hit, acc, slot_w[si])
+            slot_k[si] = jnp.where(hit, fkey, slot_k[si])
+        return ((rice_state, acc, fill, wcount),
+                (tuple(slot_w), tuple(slot_k)))
 
     state0 = (_init_state(B, mb0), jnp.zeros((B,), U32),
               start_bits & 31, jnp.zeros((B,), I32))
     (rice_state, acc, fill, wcount), (ws, ks) = jax.lax.scan(
         step, state0, (xs, ts), unroll=4)
 
-    # (S+1, B, 4) -> (B, 4*(S+1)) in stream order
+    # (S+1, B, n_slots) -> (B, n_slots*(S+1)) in stream order
     words = jnp.transpose(jnp.stack(ws, axis=-1), (1, 0, 2)).reshape(B, -1)
     keys = jnp.transpose(jnp.stack(ks, axis=-1), (1, 0, 2)).reshape(B, -1)
     # total bits consumed: final absolute position
@@ -286,7 +302,7 @@ def _peek32(words, bitpos):
     # flat 1-D gather (row*W + col) lowers better than per-row
     # take_along_axis on TPU
     flat = words.reshape(-1)
-    rows = jnp.arange(B, dtype=I32)[:, None] * W
+    rows = iota1(B)[:, None] * W
     i0 = rows + jnp.clip(w, 0, W - 1)
     i1 = rows + jnp.clip(w + 1, 0, W - 1)
     w0 = flat[i0]
@@ -314,7 +330,7 @@ def _fetch128(words, bitpos):
     Returns ((w0..w3), phase=bitpos & 31)."""
     B, W = words.shape
     flat = words.reshape(-1)
-    base = jnp.arange(B, dtype=I32) * W
+    base = iota1(B) * W
     w = (bitpos >> 5).astype(I32)
     ws = tuple(flat[base + jnp.clip(w + i, 0, W - 1)] for i in range(4))
     return ws, (bitpos & 31).astype(U32)
@@ -341,142 +357,20 @@ def _window_bits(ws, off, nbits):
 
 
 def rice_decode(words, start_bits, num_samples: int, bit_size,
-                mb0: int, pb: int, kb: int, wb: int):
+                mb0: int, pb, kb: int, wb: int, max_bit_size: int = 32):
     """Decode ``num_samples`` residuals per lane from packed words.
 
     words: (B, W) uint32 big-endian bit image of each frame's packet.
     start_bits: (B,) bit offset where each lane's Rice stream begins.
-    bit_size: escape payload width (scalar or per-lane (B,)).
+    bit_size: escape payload width (scalar or per-lane (B,));
+    max_bit_size: static upper bound on it (sizes the per-step group).
     Returns (residuals (B, S) i32, end_bits (B,), error (B,) bool).
 
-    Per-lane random access is the expensive primitive on TPU, so the scan
-    carries a 16-word block cache per lane (as 16 separate (B,) vectors —
-    rotation is free) and refills it with ONE aligned 8-word row gather
-    per step, instead of 4+ scattered word gathers.  Bit reads then come
-    from cheap vectorized selects over the cached block.
+    Implementation: grouped block-cache scan (see rice_decode_impl) —
+    per-lane gathers are the expensive primitive on TPU, so G samples
+    decode per scan step out of a 24-word carried cache refilled by two
+    aligned row gathers per step.
     """
-    B, W = words.shape
-    S = num_samples
-    bit_size = jnp.broadcast_to(jnp.asarray(bit_size, dtype=I32), (B,))
-
-    # pad to 8-word rows for aligned block fetches
-    W8 = (W + 7) // 8
-    if W8 * 8 != W:
-        words = jnp.pad(words, ((0, 0), (0, W8 * 8 - W)))
-    rows = words.reshape(B * W8, 8)
-    lane_row0 = jnp.arange(B, dtype=I32) * W8
-
-    def fetch_block(block_idx):
-        """One gather: 8 consecutive words starting at word 8*block_idx."""
-        r = jnp.take(rows, lane_row0 + jnp.clip(block_idx, 0, W8 - 1),
-                     axis=0)
-        return tuple(r[:, i] for i in range(8))
-
-    start_bits = jnp.asarray(start_bits, I32)
-    base0 = (start_bits >> 5) & ~jnp.int32(7)
-    blk0 = fetch_block(base0 >> 3) + fetch_block((base0 >> 3) + 1)
-
-    # worst-case bits consumed per step: residual (9+bit_size) + run (25)
-    max_adv_words = (9 + 32 + 25) // 32 + 1
-
-    def step(state, _):
-        bitpos, mb, c, zmode, err, blk_base = state[:6]
-        blk = state[6:]
-        active = c < S
-
-        m0 = mb >> QBSHIFT
-        k = jnp.minimum(lg3a(m0), kb)
-        m = jnp.left_shift(_U32_ONE, k.astype(U32)) - 1
-
-        # 4-word window out of the cached block (rel in [0, 8+max_adv))
-        rel = (bitpos >> 5) - blk_base
-        ws = []
-        for i in range(4):
-            v = blk[0]
-            for j in range(1, 8 + max_adv_words + 1):
-                v = jnp.where(rel + i == j, blk[j], v)
-            ws.append(v)
-        ws = tuple(ws)
-        phase = (bitpos & 31).astype(U32)
-
-        stream = _window_read32(ws, phase)
-        pre = clz32(~stream)
-        esc = pre >= MAX_PREFIX_32
-        v = jnp.right_shift(jnp.left_shift(stream, (pre + 1).astype(U32)),
-                            ((32 - k) % 32).astype(U32))
-        use_v = (k != 1) & ~esc
-        vge2 = v >= 2
-        n_plain = (pre.astype(U32) * m
-                   + jnp.where(use_v & vge2, v - 1, jnp.uint32(0)))
-        adv_plain = pre + 1 + jnp.where(use_v, jnp.where(vge2, k, k - 1), 0)
-        raw = _window_bits(ws, phase + MAX_PREFIX_32, bit_size)
-        n = jnp.where(esc, raw, n_plain)
-        adv = jnp.where(esc, MAX_PREFIX_32 + bit_size, adv_plain)
-
-        ndecode = n + zmode
-        half = (ndecode >> 1).astype(I32)
-        delta = jnp.where((ndecode & 1) == 1, -(half + 1), half)
-
-        c1 = c + 1
-        pb_v = jnp.asarray(pb, dtype=U32)
-        mb_upd = (pb_v * ndecode + mb
-                  - ((pb_v * mb) >> PBSHIFT)).astype(U32)
-        mb_upd = jnp.where(n > N_MAX_MEAN_CLAMP,
-                           jnp.uint32(N_MEAN_CLAMP_VAL), mb_upd)
-        mb1 = jnp.where(active, mb_upd, mb)
-
-        trigger = active & ((mb1 << MMULSHIFT) < QB) & (c1 < S)
-        kz, mz = _run_kz_mz(mb1, wb)
-        off_run = phase + adv
-        stream2 = _window_read32(ws, off_run)
-        pre2 = clz32(~stream2)
-        esc2 = pre2 >= MAX_PREFIX_16
-        v2 = jnp.right_shift(jnp.left_shift(stream2, (pre2 + 1).astype(U32)),
-                             ((32 - kz) % 32).astype(U32))
-        v2ge2 = v2 >= 2
-        nz_plain = (pre2.astype(U32) * jnp.maximum(mz, _U32_ONE)
-                    + jnp.where((kz != 1) & v2ge2, v2 - 1, jnp.uint32(0)))
-        adv2_plain = pre2 + 1 + jnp.where(kz != 1,
-                                          jnp.where(v2ge2, kz, kz - 1), 0)
-        raw2 = _window_bits(ws, off_run + MAX_PREFIX_16, 16)
-        nz = jnp.where(esc2, raw2, nz_plain)
-        adv2 = jnp.where(esc2, MAX_PREFIX_16 + 16, adv2_plain)
-
-        overrun = trigger & (c1.astype(U32) + nz > S)
-        err = err | overrun
-        nz_safe = jnp.where(overrun, jnp.uint32(0), nz)
-
-        c2 = jnp.where(trigger, c1 + nz_safe.astype(I32), c1)
-        zmode2 = jnp.where(trigger & (nz_safe < 65535) & ~overrun,
-                           jnp.uint32(1), jnp.uint32(0))
-        zmode2 = jnp.where(active, zmode2, zmode)
-        mb2 = jnp.where(trigger, jnp.uint32(0), mb1)
-        bitpos2 = jnp.where(active,
-                            bitpos + adv + jnp.where(trigger, adv2, 0), bitpos)
-        c2 = jnp.where(active, c2, c)
-
-        # block-cache refill: one aligned 8-word gather per step
-        need = ((bitpos2 >> 5) - blk_base) >= 8
-        nxt = fetch_block(jnp.where(need, (blk_base >> 3) + 2,
-                                    (blk_base >> 3) + 1))
-        blk2 = tuple(jnp.where(need, blk[i + 8], blk[i]) for i in range(8)) \
-            + tuple(jnp.where(need, nxt[i], blk[i + 8]) for i in range(8))
-        blk_base2 = jnp.where(need, blk_base + 8, blk_base)
-
-        emit_idx = jnp.where(active, c, S)  # S = dropped by scatter
-        return ((bitpos2, mb2, c2, zmode2, err, blk_base2) + blk2,
-                (emit_idx, delta))
-
-    state0 = (start_bits.astype(I32), jnp.full((B,), mb0, dtype=U32),
-              jnp.zeros((B,), dtype=I32), jnp.zeros((B,), dtype=U32),
-              jnp.zeros((B,), dtype=bool), base0) + blk0
-    final_state, (idx, vals) = jax.lax.scan(
-        step, state0, None, length=S, unroll=4)
-    end_bits, err = final_state[0], final_state[4]
-
-    # scatter the (step, lane) emissions into (B, S); runs stay zero
-    def scatter_lane(i, v):
-        return jnp.zeros((S,), dtype=I32).at[i].set(v, mode="drop")
-
-    res = jax.vmap(scatter_lane)(idx.T, vals.T)
-    return res, end_bits, err
+    from .rice_decode_impl import decode_scan
+    return decode_scan(words, start_bits, num_samples, bit_size,
+                       mb0, pb, kb, wb, max_bit_size)

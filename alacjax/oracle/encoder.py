@@ -17,11 +17,15 @@ ALAC packet per call, bit-compatible with our decoder's element grammar:
   final    -> 3b ID_END, byte-align with zeros
 
 Search policy (our dialect — the reference's dilated trial search is
-⚠ VERIFY per SURVEY.md §0): exhaustive trial encode over
-mixres ∈ 0..4 (CPE) x order ∈ {4, 8}, cost = exact element bits, first
-minimum wins; fast_mode uses (mixres=2, order=8) with no search.  Escape
-when best compressed size >= escape size.  Encoder coefficient banks
-persist across packets per (channel, order) unless independent_frames.
+⚠ VERIFY per SURVEY.md §0): mixres ∈ 0..4 (CPE) is chosen by a cheap
+deterministic first-difference proxy (see mixres_proxy_cost: uint32-
+wrapped sum of |Δ|>>4 over both mixed channels; argmin, first wins
+ties — identical in oracle/native/device so packets stay byte-equal),
+then an exact trial encode over order ∈ {4, 8} picks the cheaper; cost =
+exact element bits, first minimum wins.  fast_mode uses (mixres=2,
+order=8) with no search.  Escape when best compressed size >= escape
+size.  Encoder coefficient banks persist across packets per
+(channel, order) unless independent_frames.
 """
 
 from __future__ import annotations
@@ -42,6 +46,22 @@ SEARCH_ORDERS = (4, 8)
 FAST_ORDER = 8
 FAST_MIX_RES = 2
 PB_FACTOR = 4
+
+
+PROXY_SHIFT = 4
+
+
+def mixres_proxy_cost(u: np.ndarray, v: np.ndarray) -> int:
+    """Deterministic stereo-mode selection proxy: uint32-wrapped sum of
+    first-difference magnitudes (>> PROXY_SHIFT) over both channels.
+
+    A cheap order-1 predictability estimate (the FLAC-style heuristic);
+    uint32 wraparound keeps it exactly reproducible across the python /
+    C++ / JAX implementations for any frame length.
+    """
+    du = np.abs(np.diff(np.asarray(u, dtype=np.int64))) >> PROXY_SHIFT
+    dv = np.abs(np.diff(np.asarray(v, dtype=np.int64))) >> PROXY_SHIFT
+    return int((int(du.sum()) + int(dv.sum())) & 0xFFFFFFFF)
 
 
 def bytes_shifted_for_depth(bit_depth: int) -> int:
@@ -164,7 +184,14 @@ class ALACEncoder:
         if cfg.fast_mode:
             candidates = [(FAST_MIX_RES, FAST_ORDER)]
         else:
-            candidates = [(mr, od) for mr in range(MAX_RES + 1) for od in SEARCH_ORDERS]
+            # stereo mode by deterministic proxy, then exact order search
+            best_mr, best_proxy = 0, None
+            for mr in range(MAX_RES + 1):
+                u, v = matrix.mix(l_hi, r_hi, mixbits, mr)
+                p = mixres_proxy_cost(u, v)
+                if best_proxy is None or p < best_proxy:
+                    best_mr, best_proxy = mr, p
+            candidates = [(best_mr, od) for od in SEARCH_ORDERS]
 
         best = None  # (bits_cost, trial_bits, mixres, order, coefsU_final, coefsV_final)
         for mixres, order in candidates:

@@ -180,6 +180,8 @@ def test_golden_stream_hash_pinned(rng):
     assert digest == GOLDEN_SINE_16_2_SHA256, digest
 
 
+# regenerated 2026-08-16: dialect change — mixres now chosen by the
+# deterministic first-difference proxy instead of exhaustive trial
 GOLDEN_SINE_16_2_SHA256 = (
-    "52aa6d7c1c2415e0b8cb7a1848937203e60f8d930481e0ed95e1d4cee5b56b7a"
+    "351dd2cb9ec96c50c678be0cb884ce1e1e3d2ac7cd424e135c8f6d5abef77d2d"
 )
