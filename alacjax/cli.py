@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=("oracle", "jax"), default=None,
                    help="packet codec backend (default: jax if usable, "
                         "else oracle)")
+    p.add_argument("--resume", action="store_true",
+                   help="checkpointed encode: journal progress next to the "
+                        "output and resume after interruption "
+                        "(WAV->CAF only)")
     p.add_argument("--verbose", "-v", action="store_true")
     return p
 
@@ -68,7 +72,13 @@ def main(argv=None) -> int:
     from .convert import convert_file
     t0 = time.time()
     try:
-        if args.input.lower().endswith(".wav"):
+        if args.resume and args.input.lower().endswith(".wav"):
+            from . import checkpoint
+            checkpoint.resumable_encode(
+                args.input, args.output, frame_length=args.frame_size,
+                backend=backend, fast_mode=args.fast)
+            checkpoint.finalize(args.input, args.output, backend=backend)
+        elif args.input.lower().endswith(".wav"):
             convert_file(
                 args.input, args.output,
                 frame_length=args.frame_size,

@@ -157,7 +157,21 @@ def _run(x, coefs0, numactive, chanbits, denshift, decode: bool):
 
 
 def pc_block(x, coefs0, numactive, chanbits, denshift=9):
-    """Batched forward prediction: (B, S) samples -> (residuals, coefs_out)."""
+    """Batched forward prediction: (B, S) samples -> (residuals, coefs_out).
+
+    With ALACJAX_PALLAS=1 and a static order, eligible shapes route to the
+    hand-written Pallas kernel (ops/pallas/predict_pallas.py) — measured at
+    parity with this scan on v5e (both are latency-bound on the serial
+    per-sample dependency chain), kept as the tuning vehicle.
+    """
+    from . import pallas as pallas_cfg
+    if (pallas_cfg.enabled() and isinstance(numactive, int)
+            and 0 < numactive <= kALACMaxCoefs
+            and isinstance(denshift, int) and isinstance(chanbits, int)):
+        from .pallas.predict_pallas import LANE_TILE, S_CHUNK, pc_block_pallas
+        B, S = x.shape
+        if B % LANE_TILE == 0 and S % S_CHUNK == 0 and coefs0 is not None:
+            return pc_block_pallas(x, coefs0, numactive, chanbits, denshift)
     return _run(x, coefs0, numactive, chanbits, denshift, decode=False)
 
 

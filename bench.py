@@ -76,7 +76,7 @@ def main() -> int:
     from alacjax.types import AlacConfig
 
     S = 4096
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
     config = AlacConfig(bit_depth=16, num_channels=2, frame_length=S,
