@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .containers.pcm import bytes_per_sample
 from .oracle import ALACDecoder as OracleDecoder
 from .oracle import ALACEncoder as OracleEncoder
 from .oracle.encoder import (
