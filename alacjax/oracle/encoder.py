@@ -216,9 +216,9 @@ class ALACEncoder:
             if best is None or cost < best[0]:
                 best = (cost, trial, mixres, order, cu, cv)
 
-        header_bits = 23 + (32 if partial else 0)
         escape_bits = num_samples * cfg.bit_depth * 2
-        if best[0] + header_bits >= escape_bits + header_bits:
+        # element headers are identical in both forms, so compare bodies
+        if best[0] >= escape_bits:
             # escape frame: raw interleaved PCM at full depth
             _write_element_header(bits, tag, instance, partial, 0, True, num_samples)
             for j in range(num_samples):
