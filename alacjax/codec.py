@@ -13,9 +13,11 @@ coefficients.
 Encode dataflow (one jit program per (B, S, config)):
   mix (5 mixres candidates) -> predictor scan over stacked
   (candidates x B) lanes -> Rice cost scan -> per-frame argmin ->
-  Rice token scan on winning residuals -> element token concat
-  (headers/coefs/shift/rice/END/align) -> per-element escape select ->
-  prefix-sum + word scatter -> (B, W) word image -> host bytes.
+  closed-form absolute offsets for every segment -> headers as tiny
+  token images, shift/escape blocks as phase-0 field packs funnel-
+  shifted into place, Rice scans emitting phase-aligned word chunks ->
+  per-element escape select -> one sort+dedup merge (combine_chunks) ->
+  (B, W) word image -> host bytes.  No scatter at any depth or layout.
 
 Decode dataflow:
   host packet bytes -> (B, W) word image -> device header field reads ->
@@ -41,11 +43,10 @@ from .oracle.encoder import (
     PROXY_SHIFT, SEARCH_ORDERS, bytes_shifted_for_depth,
 )
 from .oracle import dp as oracle_dp
-from .ops import bitpack, matrix, predict, rice
+from .ops import bitpack, fused_decode, matrix, predict, rice
 from .ops.jaxutils import I32, U32, iota1, sign_extend
 from .types import (
-    DENSHIFT_DEFAULT, ElementTag, AlacConfig, AlacParamError,
-    kALACMaxCoefs,
+    DENSHIFT_DEFAULT, AlacConfig, AlacParamError, kALACMaxCoefs,
 )
 
 DEFAULT_CHUNK = 256  # frames per jit invocation (padded; 2 compiles/config)
@@ -54,19 +55,6 @@ DEFAULT_CHUNK = 256  # frames per jit invocation (padded; 2 compiles/config)
 # ---------------------------------------------------------------------------
 # token-building helpers (encode)
 # ---------------------------------------------------------------------------
-def _const_tokens(B, vals_lens):
-    """Broadcast a python list of (value, nbits) into (B, T) token arrays
-    (in-graph: iota+selects, not hoisted host constants)."""
-    n = len(vals_lens)
-    idx = iota1(n, U32)
-    v = jnp.zeros((n,), U32)
-    l = jnp.zeros((n,), I32)
-    for i, (vv, ll) in enumerate(vals_lens):
-        v = jnp.where(idx == i, jnp.uint32(vv), v)
-        l = jnp.where(idx == i, jnp.int32(ll), l)
-    return jnp.broadcast_to(v, (B, n)), jnp.broadcast_to(l, (B, n))
-
-
 def _header23(tag, instance, bytes_shifted, escape):
     return (int(tag) << 20) | (instance << 16) | (bytes_shifted << 1) | int(escape)
 
@@ -158,11 +146,26 @@ def _candidate_search(chans, chanbits, config, is_cpe):
     res_list, ch_costs = [], []
     cost = jnp.zeros((C * B,), dtype=I32)
     for st in stacks:
-        with jax.named_scope("alacjax.predict"):
-            res, _ = predict.pc_block(st, coefs0, na, chanbits, DENSHIFT_DEFAULT)
+        if len(orders) == 1:
+            with jax.named_scope("alacjax.predict_cost"):
+                res, c = predict.pc_block_cost(
+                    st, coefs0, orders[0], chanbits, DENSHIFT_DEFAULT,
+                    mb0, pb, kb, wb)
+        else:
+            # per-candidate static orders: run each order's fused scan on
+            # its own B-lane slice (static numactive keeps the predictor
+            # tap loop tight)
+            rs, cs = [], []
+            for oi, od in enumerate(orders):
+                sl = slice(oi * B, (oi + 1) * B)
+                with jax.named_scope("alacjax.predict_cost"):
+                    r_i, c_i = predict.pc_block_cost(
+                        st[sl], coefs0[sl], od, chanbits, DENSHIFT_DEFAULT,
+                        mb0, pb, kb, wb)
+                rs.append(r_i); cs.append(c_i)
+            res = jnp.concatenate(rs, axis=0)
+            c = jnp.concatenate(cs, axis=0)
         res_list.append(res)
-        with jax.named_scope("alacjax.rice_cost"):
-            c = rice.rice_cost(res, chanbits, mb0, pb, kb, wb)
         ch_costs.append(c)
         cost = cost + c
     cost = cost + 16 * na * len(stacks)      # transmitted coef bits
@@ -188,176 +191,167 @@ def _candidate_search(chans, chanbits, config, is_cpe):
     return res_win, order_win, mixres_sel, body_bits, rice_bits_win
 
 
-def _encode_element_tokens(pcm_elem, tag, instance, config: AlacConfig):
-    """Token arrays for one element over the batch, with per-frame escape.
-
-    pcm_elem: list of (B, S) planar channel arrays (right-aligned at
-    bit_depth).  Returns (vals (B, T), lens (B, T)).
-    """
-    B, S = pcm_elem[0].shape
-    nch = len(pcm_elem)
-    is_cpe = nch == 2
-    depth = config.bit_depth
-    bs = bytes_shifted_for_depth(depth)
-    chanbits = depth - 8 * bs + (1 if is_cpe else 0)
-    mb0, pb, kb, wb = _rice_params_static(config)
-
-    his, los = [], []
-    for ch in pcm_elem:
-        hi, lo = matrix.shift_off(ch, bs)
-        his.append(hi)
-        los.append(lo)
-
-    res_win, order_win, mixres_win, body_bits, _ = _candidate_search(
-        his, chanbits, config, is_cpe)
-
-    # ---- compressed token stream ----
-    parts_v, parts_l = [], []
-    hdr = jnp.full((B,), _header23(tag, instance, bs, False), dtype=U32)
-    parts_v.append(hdr[:, None]); parts_l.append(jnp.full((B, 1), 23, I32))
-    if is_cpe:
-        mixtok = (jnp.uint32(DEFAULT_MIX_BITS << 8)
-                  | (mixres_win.astype(U32) & 0xFF))
-        parts_v.append(mixtok[:, None]); parts_l.append(jnp.full((B, 1), 16, I32))
-    coefs0 = _init_coefs_batched(B)
-    for _ in range(nch):
-        parts_v.append(_chparam_token(order_win)[:, None])
-        parts_l.append(jnp.full((B, 1), 16, I32))
-        cv, cl = _coef_tokens(coefs0, order_win)
-        parts_v.append(cv); parts_l.append(cl)
-    if bs:
-        sh = _interleave2(los[0], los[1]) if is_cpe else los[0]
-        parts_v.append(sh.astype(U32))
-        parts_l.append(jnp.full(sh.shape, 8 * bs, I32))
-    # both channels in one scan: stack along the lane axis, split after
-    with jax.named_scope("alacjax.rice_tokens"):
-        tv, tl = rice.rice_encode_tokens(
-            jnp.concatenate(res_win, axis=0), chanbits, mb0, pb, kb, wb)
-    for ci in range(nch):
-        parts_v.append(tv[ci * B:(ci + 1) * B])
-        parts_l.append(tl[ci * B:(ci + 1) * B])
-    vals_c = jnp.concatenate(parts_v, axis=1)
-    lens_c = jnp.concatenate(parts_l, axis=1)
-    T = vals_c.shape[1]
-
-    # ---- escape token stream (padded to T) ----
-    ehdr = jnp.full((B,), _header23(tag, instance, 0, True), dtype=U32)
-    raw = _interleave2(pcm_elem[0], pcm_elem[1]) if is_cpe else pcm_elem[0]
-    mask = jnp.uint32((1 << depth) - 1) if depth < 32 else jnp.uint32(0xFFFFFFFF)
-    ev = jnp.concatenate([ehdr[:, None], raw.astype(I32).astype(U32) & mask],
-                         axis=1)
-    el = jnp.concatenate([jnp.full((B, 1), 23, I32),
-                          jnp.full(raw.shape, depth, I32)], axis=1)
-    pad = T - ev.shape[1]
-    vals_e = jnp.pad(ev, ((0, 0), (0, pad)))
-    lens_e = jnp.pad(el, ((0, 0), (0, pad)))
-
-    escape_bits = nch * S * depth
-    total_c = jnp.sum(lens_c, axis=1)
-    use_escape = total_c >= (23 + escape_bits)
-    vals = jnp.where(use_escape[:, None], vals_e, vals_c)
-    lens = jnp.where(use_escape[:, None], lens_e, lens_c)
-    return vals, lens
-
-
 # ---------------------------------------------------------------------------
-# scatter-free fast path: single-element 16-bit packets as word chunks
+# scatter-free packet assembly: every depth / element layout as word chunks
 # ---------------------------------------------------------------------------
-def _escape_words16(pcm_elem, tag, instance):
-    """Escape packet image for depth-16 single-element layouts, built with
-    pure strided slicing (field offsets are affine in the word index).
-
-    Returns (words (B, We) u32, total_bits int)."""
-    B, S = pcm_elem[0].shape
-    nch = len(pcm_elem)
-    n_fields = nch * S
-    hdr = _header23(tag, instance, 0, True)
-    if nch == 2:
-        f = _interleave2(pcm_elem[0], pcm_elem[1]).astype(I32)
-    else:
-        f = pcm_elem[0].astype(I32)
-    f = f.astype(U32) & jnp.uint32(0xFFFF)
-
-    end_bit = 23 + 16 * n_fields
-    total_bits = end_bit + 3
-    n_words = (total_bits + 31) // 32
-
-    # field k spans bits [23+16k, 39+16k); word j>=1 sees fields 2j-2..2j
-    f_pad = jnp.concatenate([f, jnp.zeros((B, 3), U32)], axis=1)
-    a = f_pad[:, 0::2][:, : n_words - 1]
-    b = f_pad[:, 1::2][:, : n_words - 1]
-    c = f_pad[:, 2::2][:, : n_words - 1]
-    wj = ((a & 0x7F) << 25) | (b << 9) | (c >> 7)
-    w0 = (jnp.uint32(hdr) << 9) | (f[:, 0] >> 7)
-    words = jnp.concatenate([w0[:, None], wj], axis=1)
-
-    # splice the 3-bit END tag at its (static) position
-    je, off = end_bit >> 5, end_bit & 31
-    if off <= 29:
-        words = words.at[:, je].add(jnp.uint32(7 << (29 - off)))
-    else:
-        hi_bits = 32 - off
-        words = words.at[:, je].add(jnp.uint32(7 >> (3 - hi_bits)))
-        words = words.at[:, je + 1].add(
-            jnp.uint32((7 << (32 - (3 - hi_bits))) & 0xFFFFFFFF))
-    return words, total_bits
+def _segment_keys(base_word, n: int):
+    """Absolute word keys base..base+n-1 for a placed segment (per lane)."""
+    return base_word[:, None].astype(U32) + iota1(n, U32)[None, :]
 
 
-def _encode_packet_chunks_fast(pcm, config: AlacConfig, num_words: int):
-    """Packet assembly without any large scatter (16-bit, 1 element).
+def _emit_header(vals_list, lens_list, start_bits, cap_bits: int):
+    """Assemble small header token streams at a per-lane absolute offset.
 
-    Every stream's absolute bit offset is known before emission (header
-    lengths are closed-form; per-channel Rice bit counts come from the
-    search), so the Rice scans emit phase-aligned word chunks directly
-    and a sort+dedup merges all segments (ops/bitpack.combine_chunks).
-    """
+    A leading zero token of length (start & 31) phase-aligns the image;
+    keys are (start >> 5) + iota.  Returns (words, keys, end_bits)."""
+    B = start_bits.shape[0]
+    phase = (start_bits & 31).astype(I32)
+    vals = jnp.concatenate([jnp.zeros((B, 1), U32)] + vals_list, axis=1)
+    lens = jnp.concatenate([phase[:, None]] + lens_list, axis=1)
+    cap_words = (31 + cap_bits + 31) // 32
+    words, img_bits = bitpack.assemble(vals, lens, cap_words)
+    keys = _segment_keys(start_bits >> 5, cap_words)
+    nwords = (img_bits + 31) // 32
+    keys = jnp.where(iota1(cap_words, I32)[None, :] < nwords[:, None], keys,
+                     jnp.uint32(0xFFFFFFFF))
+    return words, keys, start_bits + img_bits - phase
+
+
+def _emit_block(fields, d: int, start_bits):
+    """Pack fixed-width fields and place them at per-lane bit offsets:
+    phase-0 pack (no scatter) + per-lane funnel shift + word keys."""
+    img = bitpack.pack_fields(fields, d)
+    placed = bitpack.place_segment(img, (start_bits & 31).astype(U32))
+    keys = _segment_keys(start_bits >> 5, placed.shape[1])
+    nbits = fields.shape[1] * d
+    nwords = ((start_bits & 31) + nbits + 31) // 32
+    keys = jnp.where(iota1(placed.shape[1], I32)[None, :] < nwords[:, None],
+                     keys, jnp.uint32(0xFFFFFFFF))
+    return placed, keys, start_bits + nbits
+
+
+def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int):
+    """Packet assembly without any large scatter, all configs.
+
+    Every stream's absolute bit offset is computable before emission
+    (header lengths are closed-form in the winning order; shift-byte
+    blocks are fixed-size; per-channel Rice bit counts come out of the
+    search; per-element escape decisions depend only on those sizes), so
+    headers assemble as tiny token images, shift/escape blocks pack as
+    phase-0 strided field blocks funnel-shifted into place, Rice scans
+    emit phase-aligned word chunks directly, and one sort+dedup merges
+    all segments (ops/bitpack.combine_chunks).  The reference writes all
+    of this bit-serially (codec/ALACEncoder.cpp :: EncodeStereo)."""
     B = pcm.shape[0]
     S = config.frame_length
-    (tag, width), = config.elements
-    is_cpe = width == 2
-    chanbits = config.bit_depth + (1 if is_cpe else 0)
+    depth = config.bit_depth
+    bs = bytes_shifted_for_depth(depth)
     mb0, pb, kb, wb = _rice_params_static(config)
-    chans = [pcm[:, i, :] for i in range(width)]
 
-    res_win, order_win, mixres_win, _, rice_bits = _candidate_search(
-        chans, chanbits, config, is_cpe)
+    # ---- pass 1: per-element search + exact sizes -> absolute offsets ----
+    elems = []
+    ch = 0
+    tag_counters = {}
+    for tag, width in config.elements:
+        instance = tag_counters.get(int(tag), 0)
+        tag_counters[int(tag)] = instance + 1
+        is_cpe = width == 2
+        chanbits = depth - 8 * bs + (1 if is_cpe else 0)
+        chans = [pcm[:, ch + i, :] for i in range(width)]
+        ch += width
+        his, los = [], []
+        for c in chans:
+            hi, lo = matrix.shift_off(c, bs)
+            his.append(hi)
+            los.append(lo)
+        res_win, order_win, mixres_win, _, rice_bits = _candidate_search(
+            his, chanbits, config, is_cpe)
+        hdr_bits = (23 + (16 if is_cpe else 0) + width * 16
+                    + 16 * width * order_win)
+        shift_bits = width * S * 8 * bs
+        comp_bits = hdr_bits + shift_bits + sum(rice_bits)
+        esc_bits = 23 + width * S * depth
+        use_escape = comp_bits >= esc_bits
+        elems.append(dict(
+            tag=tag, instance=instance, width=width, is_cpe=is_cpe,
+            chanbits=chanbits, chans=chans, los=los, res_win=res_win,
+            order_win=order_win, mixres_win=mixres_win, rice_bits=rice_bits,
+            hdr_bits=hdr_bits, use_escape=use_escape,
+            elem_bits=jnp.where(use_escape, esc_bits, comp_bits)))
 
-    # ---- header token mini-assembly (tiny scatter over ~36 tokens) ----
-    parts_v, parts_l = [], []
-    hdr = jnp.full((B,), _header23(tag, 0, 0, False), dtype=U32)
-    parts_v.append(hdr[:, None]); parts_l.append(jnp.full((B, 1), 23, I32))
-    if is_cpe:
-        mixtok = (jnp.uint32(DEFAULT_MIX_BITS << 8)
-                  | (mixres_win.astype(U32) & 0xFF))
-        parts_v.append(mixtok[:, None])
-        parts_l.append(jnp.full((B, 1), 16, I32))
-    coefs0 = _init_coefs_batched(B)
-    for _ in range(width):
-        parts_v.append(_chparam_token(order_win)[:, None])
-        parts_l.append(jnp.full((B, 1), 16, I32))
-        cv, cl = _coef_tokens(coefs0, order_win)
-        parts_v.append(cv); parts_l.append(cl)
-    hv = jnp.concatenate(parts_v, axis=1)
-    hl = jnp.concatenate(parts_l, axis=1)
-    hdr_bits = jnp.sum(hl, axis=1)
-    hw_cap = (23 + 16 + width * (16 + 16 * kALACMaxCoefs) + 31) // 32 + 1
-    hdr_words, _ = bitpack.assemble(hv, hl, hw_cap)
-    hdr_nwords = (hdr_bits + 31) // 32
-    hkeys = iota1(hw_cap, U32)[None, :]
-    hkeys = jnp.where(hkeys < hdr_nwords[:, None].astype(U32), hkeys,
-                      jnp.uint32(0xFFFFFFFF))
+    start = jnp.zeros((B,), dtype=I32)
+    for e in elems:
+        e["start"] = start
+        start = start + e["elem_bits"]
+    total_c = start
 
-    # ---- phase-aligned Rice word chunks, both channels in one scan ----
-    starts = [hdr_bits]
-    for ci in range(1, width):
-        starts.append(starts[-1] + rice_bits[ci - 1])
-    with jax.named_scope("alacjax.rice_words"):
-        cw, ck, end_bits = rice.rice_encode_words(
-            jnp.concatenate(res_win, axis=0), chanbits, mb0, pb, kb, wb,
-            jnp.concatenate(starts, axis=0))
-    chunk_ws = [cw[ci * B:(ci + 1) * B] for ci in range(width)]
-    chunk_ks = [ck[ci * B:(ci + 1) * B] for ci in range(width)]
-    total_c = starts[-1] + rice_bits[width - 1]
+    # ---- pass 2: emission ----
+    all_vals, all_keys = [], []
+    for e in elems:
+        width, is_cpe = e["width"], e["is_cpe"]
+        # compressed stream: header tokens
+        hv = [jnp.full((B, 1), _header23(e["tag"], e["instance"], bs, False),
+                       dtype=U32)]
+        hl = [jnp.full((B, 1), 23, I32)]
+        if is_cpe:
+            mixtok = (jnp.uint32(DEFAULT_MIX_BITS << 8)
+                      | (e["mixres_win"].astype(U32) & 0xFF))
+            hv.append(mixtok[:, None]); hl.append(jnp.full((B, 1), 16, I32))
+        coefs0 = _init_coefs_batched(B)
+        for _ in range(width):
+            hv.append(_chparam_token(e["order_win"])[:, None])
+            hl.append(jnp.full((B, 1), 16, I32))
+            cv, cl = _coef_tokens(coefs0, e["order_win"])
+            hv.append(cv); hl.append(cl)
+        cap = 23 + 16 + width * (16 + 16 * kALACMaxCoefs)
+        hw, hk, pos = _emit_header(hv, hl, e["start"], cap)
+        seg_v, seg_k = [hw], [hk]
+
+        # shift-byte block (interleaved per sample/channel)
+        if bs:
+            sh = (_interleave2(e["los"][0], e["los"][1]) if is_cpe
+                  else e["los"][0])
+            bw, bk, pos = _emit_block(sh.astype(U32), 8 * bs, pos)
+            seg_v.append(bw); seg_k.append(bk)
+
+        # Rice streams, all channels of this element in one scan
+        starts = [pos]
+        for ci in range(1, width):
+            starts.append(starts[-1] + e["rice_bits"][ci - 1])
+        with jax.named_scope("alacjax.rice_words"):
+            cw, ck, _ = rice.rice_encode_words(
+                jnp.concatenate(e["res_win"], axis=0), e["chanbits"],
+                mb0, pb, kb, wb, jnp.concatenate(starts, axis=0))
+        for ci in range(width):
+            seg_v.append(cw[ci * B:(ci + 1) * B])
+            seg_k.append(ck[ci * B:(ci + 1) * B])
+        vals_c = jnp.concatenate(seg_v, axis=1)
+        keys_c = jnp.concatenate(seg_k, axis=1)
+
+        # escape stream: 23-bit header + raw samples at full depth
+        ehv = [jnp.full((B, 1), _header23(e["tag"], e["instance"], 0, True),
+                        dtype=U32)]
+        ehl = [jnp.full((B, 1), 23, I32)]
+        ew, ek, epos = _emit_header(ehv, ehl, e["start"], 23)
+        raw = (_interleave2(e["chans"][0], e["chans"][1]) if is_cpe
+               else e["chans"][0])
+        rw, rk, _ = _emit_block(raw.astype(U32), depth, epos)
+        vals_e = jnp.concatenate([ew, rw], axis=1)
+        keys_e = jnp.concatenate([ek, rk], axis=1)
+
+        # per-lane select; pad the (always smaller) escape stream
+        pad = vals_c.shape[1] - vals_e.shape[1]
+        if pad < 0:
+            vals_c = jnp.pad(vals_c, ((0, 0), (0, -pad)))
+            keys_c = jnp.pad(keys_c, ((0, 0), (0, -pad)),
+                             constant_values=np.uint32(0xFFFFFFFF))
+            pad = 0
+        vals_e = jnp.pad(vals_e, ((0, 0), (0, pad)))
+        keys_e = jnp.pad(keys_e, ((0, 0), (0, pad)),
+                         constant_values=np.uint32(0xFFFFFFFF))
+        ue = e["use_escape"][:, None]
+        all_vals.append(jnp.where(ue, vals_e, vals_c))
+        all_keys.append(jnp.where(ue, keys_e, keys_c))
 
     # ---- END tag (3 bits) at the known end position ----
     phase = (total_c & 31).astype(U32)
@@ -365,31 +359,18 @@ def _encode_packet_chunks_fast(pcm, config: AlacConfig, num_words: int):
     end_lo = jnp.where(phase > 29,
                        jnp.left_shift(jnp.uint32(7), (61 - phase) % 32),
                        jnp.uint32(0))
-    ew = jnp.stack([end_hi, end_lo], axis=1)
-    ek = jnp.stack([(total_c >> 5).astype(U32),
-                    jnp.where(phase > 29, ((total_c >> 5) + 1).astype(U32),
-                              jnp.uint32(0xFFFFFFFF))], axis=1)
+    all_vals.append(jnp.stack([end_hi, end_lo], axis=1))
+    all_keys.append(jnp.stack(
+        [(total_c >> 5).astype(U32),
+         jnp.where(phase > 29, ((total_c >> 5) + 1).astype(U32),
+                   jnp.uint32(0xFFFFFFFF))], axis=1))
+    total_bits = total_c + 3  # byte-align pad bits are zeros: no emission
 
-    vals_c = jnp.concatenate([hdr_words] + chunk_ws + [ew], axis=1)
-    keys_c = jnp.concatenate([hkeys] + chunk_ks + [ek], axis=1)
-    bits_c = total_c + 3
-
-    # ---- escape stream + per-frame select (same rule as the token path:
-    # compressed element bits >= escape element bits) ----
-    esc_words, esc_bits = _escape_words16(chans, tag, 0)
-    use_escape = bits_c >= esc_bits
-    pad = vals_c.shape[1] - esc_words.shape[1]
-    esc_keys = jnp.broadcast_to(
-        iota1(esc_words.shape[1], U32)[None, :], esc_words.shape)
-    ev = jnp.pad(esc_words, ((0, 0), (0, pad)))
-    ekk = jnp.pad(esc_keys, ((0, 0), (0, pad)),
-                  constant_values=np.uint32(0xFFFFFFFF))
-    vals = jnp.where(use_escape[:, None], ev, vals_c)
-    keys = jnp.where(use_escape[:, None], ekk, keys_c)
-    total_bits = jnp.where(use_escape, esc_bits, bits_c)
-
+    vals = jnp.concatenate(all_vals, axis=1)
+    keys = jnp.concatenate(all_keys, axis=1)
     with jax.named_scope("alacjax.combine_chunks"):
-        words = bitpack.combine_chunks(vals, keys, num_words)
+        words = bitpack.combine_chunks(
+            vals, keys, num_words, max_dups=4 + 4 * len(config.elements))
     return words, total_bits
 
 
@@ -419,33 +400,7 @@ def decode_frames_jit(words, config: AlacConfig, num_samples: int):
 
 def encode_frames_device(pcm, config: AlacConfig, num_words: int):
     """Jit core: (B, C, S) planar int32 -> ((B, W) words, (B,) total_bits)."""
-    if _fast_path_ok(config):
-        return _encode_packet_chunks_fast(pcm, config, num_words)
-    B = pcm.shape[0]
-    parts_v, parts_l = [], []
-    ch = 0
-    tag_counters = {}
-    for tag, width in config.elements:
-        instance = tag_counters.get(int(tag), 0)
-        tag_counters[int(tag)] = instance + 1
-        chans = [pcm[:, ch + i, :] for i in range(width)]
-        v, l = _encode_element_tokens(chans, tag, instance, config)
-        parts_v.append(v); parts_l.append(l)
-        ch += width
-
-    end_v, end_l = _const_tokens(B, [(int(ElementTag.END), 3)])
-    parts_v.append(end_v); parts_l.append(end_l)
-    vals = jnp.concatenate(parts_v, axis=1)
-    lens = jnp.concatenate(parts_l, axis=1)
-
-    # byte-align pad token (value 0, data-dependent length)
-    total = jnp.sum(lens, axis=1)
-    pad = (-total) % 8
-    vals = jnp.concatenate([vals, jnp.zeros((B, 1), U32)], axis=1)
-    lens = jnp.concatenate([lens, pad[:, None].astype(I32)], axis=1)
-
-    with jax.named_scope("alacjax.bitpack"):
-        return bitpack.assemble(vals, lens, num_words)
+    return _encode_packet_chunks(pcm, config, num_words)
 
 
 # ---------------------------------------------------------------------------
@@ -475,14 +430,6 @@ def _decode_channel_params(words, bitpos):
     err = ((order > kALACMaxCoefs) & (order != 31)) | (
         (den == 0) & (order != 0) & (order != 31))
     return (mode.astype(I32), den, pbf, order, coefs), bitpos, err
-
-
-def _unpredict(res, coefs, mode, order, chanbits, den):
-    """mode != 0: undo first-difference stage, then the FIR stage."""
-    stage1 = predict._mode31(res, chanbits, decode=True)
-    res2 = jnp.where((mode != 0)[:, None], stage1, res)
-    out, _ = predict.unpc_block(res2, coefs, order, chanbits, den)
-    return out
 
 
 def _unescape_words16(words, nch: int, S: int):
@@ -559,16 +506,17 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
         shift_bits_total = width * S * 8 * bs
         bitpos = bitpos + jnp.where(esc, 0, shift_bits_total)
 
-        res_ch, recon = [], []
+        recon = []
         for ci in range(width):
             mode, den, pbf, order, coefs = params[ci]
             pb_lane = (config.pb * pbf) // 4
-            res, bitpos_n, rerr = rice.rice_decode(
-                words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
-                max_bit_size=chanbits)
+            with jax.named_scope("alacjax.fused_decode"):
+                samples, bitpos_n, rerr = fused_decode.decode_channel(
+                    words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
+                    coefs, mode, order, den)
             bitpos = jnp.where(esc, bitpos, bitpos_n)
             err = err | (~esc & rerr)
-            recon.append(_unpredict(res, coefs, mode, order, chanbits, den))
+            recon.append(samples)
 
         # shift side-channel re-insert (static: absent when bs == 0)
         if bs:

@@ -13,6 +13,8 @@ word 0 (byte serialization is words.astype('>u4')).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -71,6 +73,109 @@ def assemble(vals, lens, num_words: int):
     return words, total_bits
 
 
+def pack_fields(fields, d: int, num_words: int | None = None):
+    """Pack (B, F) fixed-width fields (``d`` bits each, MSB-first, field k
+    at bit offset d*k) into a phase-0 word image — with NO scatter and NO
+    gather.
+
+    The bit layout is periodic: with P = d/gcd(d,32) words and
+    Q = 32/gcd(d,32) fields per period, field boundaries align with word
+    boundaries exactly at period edges, so each output word is a fixed OR
+    of statically-shifted fields from its own period.  Reshape + static
+    shifts only; XLA vectorizes it fully.  This generalizes the 16-bit
+    escape packer to every depth (8/16/20/24/32) and to shift-byte blocks
+    (reference packs these serially: codec/ALACEncoder.cpp shift-buffer
+    writes, codec/matrix_enc.c :: mix24/mix32).
+
+    Returns (B, W) uint32 where W = num_words or the minimal cover.
+    """
+    B, F = fields.shape
+    assert 1 <= d <= 32
+    g = math.gcd(d, 32)
+    P, Q = d // g, 32 // g
+    n_groups = -(-F // Q)
+    v = fields.astype(U32)
+    if d < 32:
+        v = v & jnp.uint32((1 << d) - 1)
+    if n_groups * Q != F:
+        v = jnp.pad(v, ((0, 0), (0, n_groups * Q - F)))
+    vg = v.reshape(B, n_groups, Q)
+
+    per_p = []
+    for p in range(P):
+        w = jnp.zeros((B, n_groups), U32)
+        for q in range(Q):
+            s = d * q - 32 * p          # field start, relative to word p
+            if s >= 32 or s + d <= 0:
+                continue
+            if s + d <= 32:
+                sh = 32 - s - d
+                w = w | (jnp.left_shift(vg[:, :, q], sh) if sh else vg[:, :, q])
+            else:
+                w = w | jnp.right_shift(vg[:, :, q], s + d - 32)
+        per_p.append(w)
+    words = jnp.stack(per_p, axis=-1).reshape(B, n_groups * P)
+    need = (F * d + 31) // 32
+    words = words[:, :need]
+    if num_words is not None:
+        if num_words < need:
+            raise ValueError("num_words too small for field block")
+        if num_words > need:
+            words = jnp.pad(words, ((0, 0), (0, num_words - need)))
+    return words
+
+
+def unpack_fields(words, d: int, F: int):
+    """Inverse of pack_fields: (B, W) phase-0 word image -> (B, F) fields
+    of ``d`` bits each (zero-extended uint32), gather-free via the same
+    periodic reshape."""
+    B, W = words.shape
+    g = math.gcd(d, 32)
+    P, Q = d // g, 32 // g
+    n_groups = -(-F // Q)
+    needW = n_groups * P
+    w = words.astype(U32)
+    if W < needW:
+        w = jnp.pad(w, ((0, 0), (0, needW - W)))
+    # per period p-word view: wg[:, :, p] = word (group*P + p)
+    wg = w[:, :needW].reshape(B, n_groups, P)
+    mask = jnp.uint32(0xFFFFFFFF) if d == 32 else jnp.uint32((1 << d) - 1)
+    outs = []
+    for q in range(Q):
+        s = d * q
+        p0, off = s // 32, s % 32
+        a = wg[:, :, p0]
+        if off + d <= 32:
+            f = jnp.right_shift(a, 32 - off - d) & mask
+        else:
+            # a spanning field never crosses a period edge (Q*d == P*32)
+            assert p0 + 1 < P
+            hi = jnp.left_shift(a, off + d - 32)
+            f = (hi | jnp.right_shift(wg[:, :, p0 + 1], 64 - off - d)) & mask
+        outs.append(f)
+    fields = jnp.stack(outs, axis=-1).reshape(B, n_groups * Q)
+    return fields[:, :F]
+
+
+def place_segment(words, phase):
+    """Shift a phase-0 word image right by a per-lane bit phase (0..31):
+    the segment's bits move from [0, 32W) to [phase, phase + 32W).
+
+    Returns (B, W+1) uint32 (one spill word).  Together with per-lane word
+    keys this places any pre-packed block at an arbitrary absolute bit
+    offset for combine_chunks — the building block that extends the
+    scatter-free assembler to data-dependent element offsets.
+    """
+    B, W = words.shape
+    p = phase.astype(U32)[:, None]
+    prev = jnp.pad(words, ((0, 0), (1, 0)))        # w[j-1], w[-1] = 0
+    cur = jnp.pad(words, ((0, 0), (0, 1)))         # w[j],   w[W] = 0
+    hi = jnp.where(p == 0, jnp.uint32(0),
+                   jnp.left_shift(prev, (32 - p) % 32))
+    lo = jnp.where(p == 0, cur, jnp.right_shift(cur, p))
+    return hi | lo
+
+
 def combine_chunks(words, keys, num_words: int, max_dups: int = 8):
     """Merge sparse (absolute word index, word value) chunk streams into a
     dense word image — the scatter-free packet assembler.
@@ -83,6 +188,12 @@ def combine_chunks(words, keys, num_words: int, max_dups: int = 8):
     runs into their first occurrence, then reconstruct positionally: after
     sorting, the entry for word j sits at position j + (#duplicate extras
     before j) <= j + max_dups, so max_dups+1 static shifts recover it.
+
+    max_dups bounds the CUMULATIVE duplicate extras across the whole
+    packet, not per word: every segment boundary (header/shift/rice
+    channels/END, per element) can share one word with its neighbor, so
+    callers must size it to the element layout (codec passes
+    4 + 4*n_elements).
     """
     B, T = words.shape
     keys_s, words_s = jax.lax.sort((keys.astype(U32), words.astype(U32)),

@@ -1,0 +1,298 @@
+"""Fused Rice-decode + inverse-predictor scan (decode hot path).
+
+The reference decodes a channel in three serial passes over the frame
+(codec/ag_dec.c :: dyn_decomp, then codec/dp_dec.c :: unpc_block once or
+twice for the mode!=0 cascade).  On TPU each pass is a sequential scan,
+and decode was ~55% of steady-state time, so this module fuses all three
+into ONE scan: every substep decodes one Rice residual (or consumes one
+sample of a pending zero run), feeds it through the first-difference
+stage (mode != 0) and the adaptive FIR in the same step, and emits the
+reconstructed sample.  Consequences:
+
+  * one scan instead of two-to-three per channel;
+  * outputs are dense and in order (exactly one sample per substep), so
+    the (B, S) result is a reshape — the zero-run scatter disappears;
+  * the intermediate residual array never exists.
+
+Bit reads: substeps share the 24-word block cache of rice_decode_impl,
+but each substep performs ONE relative-index window fetch (4 consecutive
+cache words cover the worst case: residual codeword 9+32 plus zero-run
+codeword 9+16 from a phase <= 31 start), and all field extractions are
+cheap static selects within that window — half the select-chain work of
+the unfused decoder's four independent cache reads.
+
+Zero runs are consumed one sample per substep (a ``run_rem`` counter)
+instead of jumping the sample cursor: the FIR recurrence must still run
+through every zero residual, so per-sample stepping costs nothing extra
+and keeps outputs dense.
+
+State arithmetic is uint32/int32 wraparound, bit-identical to the
+oracle (alacjax.oracle.ag / .dp); tests assert equality against the
+unfused ops and the scalar oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import (
+    MAX_PREFIX_16, MAX_PREFIX_32, MMULSHIFT, N_MAX_MEAN_CLAMP,
+    N_MEAN_CLAMP_VAL, PBSHIFT, QB, QBSHIFT, kALACMaxCoefs,
+)
+from .jaxutils import I32, U32, clz32, iota1, lg3a, sign_extend, sign_of_int
+
+_U32_ONE = np.uint32(1)
+_CACHE_WORDS = 24
+_MAX_REL = 20
+_W = kALACMaxCoefs + 1  # predictor lags
+_N_RICE = 7             # rice-state slots in the carry
+
+
+def _fetch_window4(blk, rel):
+    """Select 4 consecutive cache words starting at ``rel`` (0.._MAX_REL).
+
+    One select chain serves every bit read of a substep."""
+    w = [blk[0], blk[1], blk[2], blk[3]]
+    for j in range(1, _MAX_REL + 1):
+        hit = rel == j
+        for i in range(4):
+            w[i] = jnp.where(hit, blk[j + i], w[i])
+    return tuple(w)
+
+
+def _win_read32(ws, off):
+    """32 bits at bit offset ``off`` (0..95) within the 128-bit window."""
+    idx = off >> 5
+    a = jnp.where(idx == 0, ws[0], jnp.where(idx == 1, ws[1], ws[2]))
+    b = jnp.where(idx == 0, ws[1], jnp.where(idx == 1, ws[2], ws[3]))
+    sh = (off & 31).astype(U32)
+    return jnp.where(sh == 0, a,
+                     jnp.left_shift(a, sh) | jnp.right_shift(b, (32 - sh) % 32))
+
+
+def _win_bits(ws, off, nbits):
+    stream = _win_read32(ws, off)
+    nb = jnp.asarray(nbits, dtype=U32)
+    nb_c = jnp.minimum(nb, jnp.uint32(31))
+    mask = jnp.where(nb >= 32, jnp.uint32(0xFFFFFFFF),
+                     jnp.left_shift(_U32_ONE, nb_c) - 1)
+    return jnp.right_shift(stream, (32 - nb) % 32) & mask
+
+
+def decode_channel(words, start_bits, num_samples: int, chanbits: int,
+                   mb0: int, pb, kb: int, wb: int,
+                   coefs0, mode, numactive, denshift):
+    """Decode + reconstruct one channel: (B, W) words -> (B, S) samples.
+
+    start_bits/pb/coefs0/mode/numactive/denshift are per-lane; chanbits
+    is static (derived from the config's depth).  Returns
+    (samples (B, S) i32, end_bits (B,) i32, error (B,) bool).
+    """
+    B, W = words.shape
+    S = num_samples
+
+    max_adv = MAX_PREFIX_32 + chanbits + MAX_PREFIX_16 + 16
+    G = max(1, min(8, 416 // max_adv))
+    n_steps = -(-S // G)
+
+    W8 = (W + 7) // 8
+    if W8 * 8 != W:
+        words = jnp.pad(words, ((0, 0), (0, W8 * 8 - W)))
+    rows = words.reshape(B * W8, 8)
+    lane_row0 = iota1(B) * W8
+
+    def fetch_row(row_idx):
+        r = jnp.take(rows, lane_row0 + jnp.clip(row_idx, 0, W8 - 1), axis=0)
+        return tuple(r[:, i] for i in range(8))
+
+    start_bits = jnp.asarray(start_bits, I32)
+    base0 = (start_bits >> 5) & ~jnp.int32(7)
+    blk0 = fetch_row(base0 >> 3) + fetch_row((base0 >> 3) + 1) \
+        + fetch_row((base0 >> 3) + 2)
+
+    pb_v = jnp.asarray(pb, dtype=U32)
+    zero = jnp.zeros((B,), dtype=I32)
+
+    # predictor per-lane params
+    na = jnp.asarray(numactive, I32)
+    na_eff = jnp.clip(na, 1, kALACMaxCoefs)
+    den = jnp.maximum(jnp.asarray(denshift, I32), 1)
+    denhalf = jnp.left_shift(jnp.int32(1), den - 1).astype(I32)
+    mode_nz = jnp.asarray(mode, I32) != 0
+    is0 = na == 0
+    is31 = na == 31
+
+    def substep(st, pred_st, blk, blk_base):
+        bitpos, mb, zmode, run_rem, c, err = st
+        lags = pred_st[:_W]
+        coefs = pred_st[_W:_W + kALACMaxCoefs]
+        s1_acc, acc31 = pred_st[-2], pred_st[-1]
+
+        active = c < S
+        in_run = run_rem > 0
+        decode_now = active & ~in_run
+
+        # ---- rice codeword decode (masked out for run/idle lanes) ----
+        off0 = bitpos - blk_base * 32
+        ws = _fetch_window4(blk, (off0 >> 5).astype(I32))
+        woff = (off0 & 31).astype(I32)
+
+        m0 = mb >> QBSHIFT
+        k = jnp.minimum(lg3a(m0), kb)
+        m = jnp.left_shift(_U32_ONE, k.astype(U32)) - 1
+
+        stream = _win_read32(ws, woff)
+        pre = clz32(~stream)
+        esc = pre >= MAX_PREFIX_32
+        v = jnp.right_shift(jnp.left_shift(stream, (pre + 1).astype(U32)),
+                            ((32 - k) % 32).astype(U32))
+        use_v = (k != 1) & ~esc
+        vge2 = v >= 2
+        n_plain = (pre.astype(U32) * m
+                   + jnp.where(use_v & vge2, v - 1, jnp.uint32(0)))
+        adv_plain = pre + 1 + jnp.where(use_v, jnp.where(vge2, k, k - 1), 0)
+        raw = _win_bits(ws, woff + MAX_PREFIX_32, chanbits)
+        n = jnp.where(esc, raw, n_plain)
+        adv = jnp.where(esc, MAX_PREFIX_32 + chanbits, adv_plain)
+
+        ndecode = n + zmode
+        half = (ndecode >> 1).astype(I32)
+        delta = jnp.where((ndecode & 1) == 1, -(half + 1), half)
+
+        c1 = c + 1
+        mb_upd = (pb_v * ndecode + mb - ((pb_v * mb) >> PBSHIFT)).astype(U32)
+        mb_upd = jnp.where(n > N_MAX_MEAN_CLAMP,
+                           jnp.uint32(N_MEAN_CLAMP_VAL), mb_upd)
+
+        trigger = decode_now & ((mb_upd << MMULSHIFT) < QB) & (c1 < S)
+
+        # zero-run codeword (speculative; used when trigger)
+        kz = (clz32(mb_upd) - 24
+              + ((mb_upd + jnp.uint32(16)) >> 6).astype(I32))
+        mz = (jnp.left_shift(_U32_ONE, kz.astype(U32)) - 1) & jnp.uint32(wb)
+        off2 = woff + adv
+        stream2 = _win_read32(ws, off2)
+        pre2 = clz32(~stream2)
+        esc2 = pre2 >= MAX_PREFIX_16
+        v2 = jnp.right_shift(jnp.left_shift(stream2, (pre2 + 1).astype(U32)),
+                             ((32 - kz) % 32).astype(U32))
+        v2ge2 = v2 >= 2
+        nz_plain = (pre2.astype(U32) * jnp.maximum(mz, _U32_ONE)
+                    + jnp.where((kz != 1) & v2ge2, v2 - 1, jnp.uint32(0)))
+        adv2_plain = pre2 + 1 + jnp.where(kz != 1,
+                                          jnp.where(v2ge2, kz, kz - 1), 0)
+        raw2 = _win_bits(ws, off2 + MAX_PREFIX_16, 16)
+        nz = jnp.where(esc2, raw2, nz_plain)
+        adv2 = jnp.where(esc2, MAX_PREFIX_16 + 16, adv2_plain)
+
+        overrun = trigger & (c1.astype(U32) + nz > S)
+        err = err | overrun
+        nz_safe = jnp.where(overrun, jnp.uint32(0), nz)
+
+        # ---- merge run-consume vs codeword-decode vs idle ----
+        res = jnp.where(decode_now, delta, zero)
+        run_rem2 = jnp.where(active,
+                             jnp.where(in_run, run_rem - 1,
+                                       jnp.where(trigger, nz_safe,
+                                                 jnp.uint32(0))),
+                             run_rem)
+        zmode2 = jnp.where(decode_now,
+                           jnp.where(trigger & (nz_safe < 65535) & ~overrun,
+                                     jnp.uint32(1), jnp.uint32(0)), zmode)
+        mb2 = jnp.where(decode_now,
+                        jnp.where(trigger, jnp.uint32(0), mb_upd), mb)
+        bitpos2 = jnp.where(decode_now,
+                            bitpos + adv + jnp.where(trigger, adv2, 0),
+                            bitpos)
+        c2 = jnp.where(active, c1, c)
+
+        # ---- fused predictor (dp_dec.c :: unpc_block + mode-31 stage) ----
+        s1_acc2 = jnp.where(active, s1_acc + res, s1_acc)
+        x_t = jnp.where(mode_nz, sign_extend(s1_acc2, chanbits), res)
+
+        top = zero
+        for i in range(kALACMaxCoefs + 1):
+            top = jnp.where(na_eff == i, lags[i], top)
+        in_warm = c <= na_eff
+
+        sum1 = denhalf
+        for kk in range(kALACMaxCoefs):
+            term = coefs[kk] * (lags[kk] - top)
+            sum1 = sum1 + jnp.where(kk < na_eff, term, 0)
+        pred_adj = jnp.right_shift(sum1, den)
+        out_gen = sign_extend(x_t + top + pred_adj, chanbits)
+        out_warm = sign_extend(x_t + lags[0], chanbits)
+        out = jnp.where(c == 0, x_t, jnp.where(in_warm, out_warm, out_gen))
+
+        adapt = active & ~in_warm
+        sg = sign_of_int(x_t)                      # residual drives adapt
+        del0 = x_t
+        new_coefs = list(coefs)
+        for kk in range(kALACMaxCoefs - 1, -1, -1):
+            going = jnp.where(sg > 0, del0 > 0, del0 < 0)
+            act_k = adapt & (sg != 0) & going & (kk < na_eff)
+            dd = top - lags[kk]
+            sgn = sign_of_int(dd)
+            upd = jnp.where(sg > 0, -sgn, sgn)
+            new_coefs[kk] = sign_extend(
+                coefs[kk] + jnp.where(act_k, upd, 0), 16)
+            mag = sgn * dd
+            term = jnp.where(sg > 0, jnp.right_shift(mag, den),
+                             jnp.right_shift(-mag, den))
+            del0 = del0 - jnp.where(act_k, (na_eff - kk) * term, 0)
+
+        # special-mode overlays (mode 0: pass-through; mode 31: cumsum)
+        acc31_2 = jnp.where(active, acc31 + x_t, acc31)
+        out = jnp.where(is0, x_t,
+                        jnp.where(is31, sign_extend(acc31_2, chanbits), out))
+
+        new_lags = tuple(
+            jnp.where(active, v, old)
+            for v, old in zip((out,) + lags[:-1], lags))
+        new_coefs = [jnp.where(active, v, old)
+                     for v, old in zip(new_coefs, coefs)]
+        st2 = (bitpos2, mb2, zmode2, run_rem2, c2, err)
+        pred2 = new_lags + tuple(new_coefs) + (s1_acc2, acc31_2)
+        return st2, pred2, out
+
+    def step(carry, _):
+        st = carry[:_N_RICE - 1]
+        blk_base = carry[_N_RICE - 1]
+        blk = carry[_N_RICE: _N_RICE + _CACHE_WORDS]
+        pred_st = carry[_N_RICE + _CACHE_WORDS:]
+        outs = []
+        for _g in range(G):
+            st, pred_st, out = substep(st, pred_st, blk, blk_base)
+            outs.append(out)
+        # refill cache: keep the cursor's row in the low third
+        rel = (st[0] >> 5) - blk_base
+        kshift = jnp.clip(rel >> 3, 0, 2)
+        ext = blk + fetch_row((blk_base >> 3) + 3) + fetch_row(
+            (blk_base >> 3) + 4)
+        blk2 = []
+        for i in range(_CACHE_WORDS):
+            w = ext[i]
+            w = jnp.where(kshift == 1, ext[i + 8], w)
+            w = jnp.where(kshift == 2, ext[i + 16], w)
+            blk2.append(w)
+        return (st + (blk_base + 8 * kshift,) + tuple(blk2) + pred_st,
+                tuple(outs))
+
+    rice_st0 = (start_bits.astype(I32), jnp.full((B,), mb0, dtype=U32),
+                jnp.zeros((B,), dtype=U32), jnp.zeros((B,), dtype=U32),
+                jnp.zeros((B,), dtype=I32), jnp.zeros((B,), dtype=bool),
+                base0)
+    coef_cols0 = tuple(jnp.asarray(coefs0, I32)[:, k]
+                       for k in range(kALACMaxCoefs))
+    pred_st0 = (zero,) * _W + coef_cols0 + (zero, zero)
+
+    carry0 = rice_st0 + blk0 + pred_st0
+    final, outs = jax.lax.scan(step, carry0, None, length=n_steps)
+    # outs: G-tuple of (n_steps, B) -> (B, n_steps*G) in sample order
+    out_tg = jnp.stack(outs, axis=1).reshape(n_steps * G, B)
+    samples = out_tg.T[:, :S]
+
+    end_bits, err = final[0], final[5]
+    return samples, end_bits, err

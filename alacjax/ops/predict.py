@@ -35,9 +35,15 @@ _W = kALACMaxCoefs + 1  # lags: in[j-1] .. in[j-17]
 _UNROLL = 4
 
 
-def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool):
+def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
+                  cost_params=None):
     """Shared general-mode scan.  x_sb: (S, B) time-major input (samples on
-    encode, residuals on decode).  Returns (out (S, B), coefs (B, 16))."""
+    encode, residuals on decode).  Returns (out (S, B), coefs (B, 16)) or,
+    with cost_params=(mb0, pb, kb, wb) on encode, (out, coefs, cost_bits):
+    the adaptive-Rice bit cost of the residual stream accumulates inside
+    the SAME scan (rice._encode_step_tokens length logic; the codeword
+    values are dead code XLA eliminates), so the encoder's candidate
+    search runs one fused scan per candidate instead of two."""
     S, B = x_sb.shape
     static_na = isinstance(na, int)
     na_v = None if static_na else na.astype(I32)
@@ -51,8 +57,15 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool):
     coef_cols0 = tuple(coefs0.astype(I32)[:, k] for k in range(kALACMaxCoefs))
 
     nk = na if static_na else kALACMaxCoefs
+    if cost_params is not None:
+        assert not decode
+        from . import rice as rice_mod
+        mb0_c, pb_c, kb_c, wb_c = cost_params
 
     def step(carry, inp):
+        if cost_params is not None:
+            carry, rice_state, total = (carry[:_W + kALACMaxCoefs + 1],
+                                        carry[-6:-1], carry[-1])
         lags, coefs, t = carry[:_W], carry[_W:_W + kALACMaxCoefs], carry[-1]
         x_t = inp
 
@@ -107,12 +120,30 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool):
 
         new_sample = out if decode else x_t
         new_lags = (new_sample,) + lags[:-1]   # SSA rotation: free
-        return new_lags + tuple(new_coefs) + (t + 1,), out
+        new_carry = new_lags + tuple(new_coefs) + (t + 1,)
+        if cost_params is None:
+            return new_carry, out
+        rice_state, _, lens = rice_mod._encode_step_tokens(
+            out, t, rice_state, S=S, bit_size=chanbits,
+            pb=pb_c, kb=kb_c, wb=wb_c)
+        total = total + lens[0] + lens[1] + lens[2]
+        return new_carry + rice_state + (total,), out
 
     carry0 = lags0 + coef_cols0 + (jnp.int32(0),)
+    if cost_params is not None:
+        carry0 = carry0 + rice_mod._init_state(B, mb0_c) + (
+            jnp.zeros((B,), dtype=I32),)
     carry_out, out_sb = jax.lax.scan(step, carry0, x_sb, unroll=_UNROLL)
     coefs_out = jnp.stack(carry_out[_W:_W + kALACMaxCoefs], axis=1)
-    return out_sb, coefs_out
+    if cost_params is None:
+        return out_sb, coefs_out
+    # virtual end step: flush a pending zero-run token (t == S)
+    rice_state, total = carry_out[-6:-1], carry_out[-1]
+    _, _, lens = rice_mod._encode_step_tokens(
+        jnp.ones((B,), dtype=I32), jnp.int32(S), rice_state, S=S,
+        bit_size=chanbits, pb=pb_c, kb=kb_c, wb=wb_c)
+    total = total + lens[0] + lens[1] + lens[2]
+    return out_sb, coefs_out, total
 
 
 def _mode31(x, chanbits, decode: bool):
@@ -178,3 +209,27 @@ def pc_block(x, coefs0, numactive, chanbits, denshift=9):
 def unpc_block(res, coefs0, numactive, chanbits, denshift=9):
     """Batched inverse prediction: (B, S) residuals -> (samples, coefs_out)."""
     return _run(res, coefs0, numactive, chanbits, denshift, decode=True)
+
+
+def pc_block_cost(x, coefs0, numactive: int, chanbits: int, denshift: int,
+                  mb0: int, pb: int, kb: int, wb: int):
+    """Fused forward prediction + adaptive-Rice bit cost (one scan).
+
+    (B, S) samples -> (residuals (B, S), rice_cost_bits (B,)).  Exactly
+    pc_block followed by rice.rice_cost, but the cost state machine runs
+    inside the predictor scan — the encoder search's hot path.
+    """
+    from . import pallas as pallas_cfg
+    if pallas_cfg.enabled():
+        from . import rice as rice_mod
+        res, _ = pc_block(x, coefs0, numactive, chanbits, denshift)
+        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb)
+    x = x.astype(I32)
+    if numactive in (0, 31):
+        from . import rice as rice_mod
+        res, _ = _run(x, coefs0, numactive, chanbits, denshift, decode=False)
+        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb)
+    out_sb, _, cost = _scan_general(
+        x.T, coefs0, numactive, chanbits, denshift, decode=False,
+        cost_params=(mb0, pb, kb, wb))
+    return out_sb.T, cost

@@ -9,6 +9,8 @@ from alacjax.oracle import ALACDecoder, ALACEncoder
 from alacjax.types import AlacConfig
 from conftest import gen_pcm
 
+pytestmark = pytest.mark.slow  # device-compile-heavy (fast tier: -m "not slow")
+
 S = 256
 NF = 5
 

@@ -38,6 +38,7 @@ def test_matrix_per_lane_mixres(rng):
     np.testing.assert_array_equal(np.asarray(r2), r)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("numactive", [0, 4, 8, 16, 31])
 @pytest.mark.parametrize("chanbits", [17, 25, 32])
 def test_predictor_matches_oracle(rng, numactive, chanbits):
@@ -61,6 +62,7 @@ def test_predictor_matches_oracle(rng, numactive, chanbits):
     np.testing.assert_array_equal(np.asarray(y, dtype=np.int64), x)
 
 
+@pytest.mark.slow
 def test_predictor_dynamic_orders_mixed_batch(rng):
     chanbits = 17
     nas = np.array([0, 4, 8, 16, 31], dtype=np.int32)
@@ -94,6 +96,7 @@ def _rice_corpus(rng, bit_size, S=900):
     return np.stack(rows)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bit_size", [16, 17, 32])
 def test_rice_encode_bytes_match_oracle(rng, bit_size):
     x = _rice_corpus(rng, bit_size)
@@ -115,6 +118,7 @@ def test_rice_encode_bytes_match_oracle(rng, bit_size):
     np.testing.assert_array_equal(np.asarray(cost), oracle_bits)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bit_size", [16, 17, 32])
 def test_rice_decode_matches_oracle(rng, bit_size):
     x = _rice_corpus(rng, bit_size)

@@ -9,6 +9,8 @@ from alacjax.oracle import dp
 from alacjax.ops import predict
 from alacjax.ops.pallas.predict_pallas import LANE_TILE, S_CHUNK, pc_block_pallas
 
+pytestmark = pytest.mark.slow  # device-compile-heavy (fast tier: -m "not slow")
+
 
 @pytest.mark.parametrize("order", [4, 8])
 def test_pallas_predictor_matches_scan_and_oracle(rng, order):

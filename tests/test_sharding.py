@@ -9,6 +9,8 @@ from alacjax.parallel import ShardedCodec, frame_mesh
 from alacjax.types import AlacConfig
 from conftest import gen_pcm
 
+pytestmark = pytest.mark.slow  # device-compile-heavy (fast tier: -m "not slow")
+
 
 @pytest.fixture(scope="module")
 def mesh():

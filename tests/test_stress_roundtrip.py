@@ -9,6 +9,8 @@ from alacjax.oracle import ALACEncoder
 from alacjax.types import AlacConfig
 from conftest import gen_pcm
 
+pytestmark = pytest.mark.slow  # device-compile-heavy (fast tier: -m "not slow")
+
 S, NF = 256, 4
 
 
