@@ -77,12 +77,16 @@ def build_error() -> str | None:
 class NativeEncoder:
     """Stateful native packet encoder (mirrors oracle.ALACEncoder)."""
 
-    def __init__(self, config: AlacConfig, independent_frames: bool = False):
+    def __init__(self, config: AlacConfig, independent_frames: bool = False,
+                 search: str = "standard"):
         lib = _load()
         if lib is None:
             raise AlacError(-4, f"native codec unavailable: {_build_error}")
+        if search not in ("standard", "exhaustive"):
+            raise AlacParamError(f"unknown search mode {search!r}")
         self._lib = lib
         self.config = config
+        self.search = search
         self.independent = independent_frames
         self._state = lib.alac_encoder_new()
 
@@ -104,7 +108,9 @@ class NativeEncoder:
             pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n, cfg.frame_length, cfg.bit_depth, cfg.num_channels,
             cfg.pb, cfg.mb, cfg.kb, cfg.max_run,
-            1 if cfg.fast_mode else 0, 1 if self.independent else 0,
+            # search-mode selector: 0 standard, 1 fast, 2 exhaustive
+            1 if cfg.fast_mode else (2 if self.search == "exhaustive" else 0),
+            1 if self.independent else 0,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
         if rc < 0:
             raise AlacError(rc, "native encode failed")

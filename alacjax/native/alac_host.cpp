@@ -32,7 +32,7 @@ constexpr uint32_t MAX_PREFIX = 9, MAX_RICE_NUMBITS = 25;
 constexpr uint32_t N_MAX_MEAN_CLAMP = 0xFFFF, N_MEAN_CLAMP_VAL = 0xFFFF;
 constexpr int DEFAULT_MIX_BITS = 2, MAX_RES = 4, PB_FACTOR = 4;
 constexpr int SEARCH_ORDERS[2] = {4, 8};
-constexpr int FAST_ORDER = 8, FAST_MIX_RES = 2;
+constexpr int FAST_ORDER = 8, FAST_MIX_RES = 2, MIXRES_DILATE = 4;
 constexpr int AINIT = 38, BINIT = -29, CINIT = -2;
 
 constexpr int ID_SCE = 0, ID_CPE = 1, ID_LFE = 3, ID_END = 7;
@@ -40,6 +40,7 @@ constexpr int ID_SCE = 0, ID_CPE = 1, ID_LFE = 3, ID_END = 7;
 struct Config {
   int32_t frame_length, bit_depth, pb, mb, kb, num_channels, max_run;
   int32_t fast_mode;
+  int32_t exhaustive;  // full-rate mixres trials (compression upper bound)
 };
 
 inline int32_t sign_extend(int64_t v, int bits) {
@@ -408,40 +409,115 @@ void write_header(BitWriter& bw, int tag, int instance, bool partial,
   if (partial) bw.write((uint32_t)num, 32);
 }
 
-struct TrialOut {
-  std::vector<uint8_t> bytes;
-  size_t bits = 0;
-  int16_t coefs_out[2][kMaxCoefs];
+// v2 search dialect (mirrors alacjax.oracle.encoder; reference structure:
+// codec/ALACEncoder.cpp :: EncodeStereo — subsampled stereo-mode trial,
+// exact trials over predictor configurations)
+AgParams standard_ag(const Config& cfg) {
+  return AgParams{(uint32_t)cfg.mb, (uint32_t)(cfg.pb * PB_FACTOR / 4),
+                  (uint32_t)cfg.kb, (1u << cfg.kb) - 1};
+}
+
+size_t rice_cost_bits(const Config& cfg, const int32_t* res, int num,
+                      int chanbits) {
+  std::vector<uint8_t> scratch((size_t)num * 6 + 64, 0);
+  BitWriter bw{scratch.data(), scratch.size()};
+  AgParams ag = standard_ag(cfg);
+  dyn_comp(ag, bw, res, num, chanbits);
+  return bw.bitpos;
+}
+
+void mix_streams(const int32_t* l, const int32_t* r, int32_t* u, int32_t* v,
+                 int num, int mixres) {
+  if (mixres == 0) {
+    memcpy(u, l, (size_t)num * 4);
+    memcpy(v, r, (size_t)num * 4);
+    return;
+  }
+  const int32_t m2 = (1 << DEFAULT_MIX_BITS) - mixres;
+  for (int j = 0; j < num; j++) {
+    u[j] = (int32_t)((uint32_t)mixres * (uint32_t)l[j] +
+                     (uint32_t)m2 * (uint32_t)r[j]) >> DEFAULT_MIX_BITS;
+    v[j] = (int32_t)((uint32_t)l[j] - (uint32_t)r[j]);
+  }
+}
+
+// exact dilated stereo-mode trial: mix every MIXRES_DILATE-th sample,
+// predict with fresh order-8 coefs, Rice-cost both streams; argmin
+// (first minimum wins)
+int mixres_trial(const Config& cfg, const std::vector<int32_t>& l_hi,
+                 const std::vector<int32_t>& r_hi, int num, int chanbits) {
+  const int nd = (num + MIXRES_DILATE - 1) / MIXRES_DILATE;
+  std::vector<int32_t> ld(nd), rd(nd), u(nd), v(nd), res(nd);
+  for (int j = 0; j < nd; j++) {
+    ld[j] = l_hi[(size_t)j * MIXRES_DILATE];
+    rd[j] = r_hi[(size_t)j * MIXRES_DILATE];
+  }
+  int best_mr = 0;
+  size_t best_cost = 0;
+  for (int mr = 0; mr <= MAX_RES; mr++) {
+    mix_streams(ld.data(), rd.data(), u.data(), v.data(), nd, mr);
+    size_t cost = 0;
+    for (const auto* s : {&u, &v}) {
+      int16_t coefs[kMaxCoefs];
+      init_coefs(coefs);
+      pc_block(s->data(), res.data(), nd, coefs, FAST_ORDER, chanbits,
+               kDenshift);
+      cost += rice_cost_bits(cfg, res.data(), nd, chanbits);
+    }
+    if (mr == 0 || cost < best_cost) { best_cost = cost; best_mr = mr; }
+  }
+  return best_mr;
+}
+
+struct ChWin {
+  int mode = 0, order = 0;
+  size_t cost = 0;  // chparam + coef + rice bits for this channel
+  int16_t coefs0[kMaxCoefs];
+  int16_t coefs_adapted[kMaxCoefs];
+  std::vector<int32_t> res;
 };
 
-// encode the body (channel params + shift + rice) for one candidate
-void encode_body(const Config& cfg, const int32_t* const* hi,
-                 const uint16_t* const* lo, int nch, int num, int order,
-                 int chanbits, int bs, const int16_t (*coefs_in)[kMaxCoefs],
-                 TrialOut* out) {
-  // worst case/sample: 41-bit escape codeword + 16 shift bits (~7.2 B)
-  out->bytes.assign((size_t)num * nch * 8 + 1024, 0);
-  BitWriter bw{out->bytes.data(), out->bytes.size()};
-  AgParams ag{(uint32_t)cfg.mb, (uint32_t)(cfg.pb * PB_FACTOR / 4),
-              (uint32_t)cfg.kb, (1u << cfg.kb) - 1};
-  for (int ci = 0; ci < nch; ci++) {
-    bw.write((uint32_t)((0 << 4) | kDenshift), 8);
-    bw.write((uint32_t)((PB_FACTOR << 5) | order), 8);
-    for (int k = 0; k < order; k++)
-      bw.write((uint16_t)coefs_in[ci][k], 16);
+// per-channel candidate search over order x stage; candidate order
+// (4,1),(4,2),(8,1),(8,2), first minimum wins
+void search_channel(const Config& cfg, EncState* st, const int32_t* stream,
+                    int num, int chanbits, int ch_index, ChWin* win) {
+  int orders[2], n_ord, n_stage;
+  if (cfg.fast_mode) {
+    orders[0] = FAST_ORDER; n_ord = 1; n_stage = 1;
+  } else {
+    orders[0] = SEARCH_ORDERS[0]; orders[1] = SEARCH_ORDERS[1];
+    n_ord = 2; n_stage = 2;
   }
-  if (bs) {
-    for (int j = 0; j < num; j++)
-      for (int ci = 0; ci < nch; ci++) bw.write(lo[ci][j], bs * 8);
+  bool have = false;
+  std::vector<int32_t> res1(num), res2(num);
+  for (int oi = 0; oi < n_ord; oi++) {
+    const int order = orders[oi];
+    const int bank = (order == SEARCH_ORDERS[0] && !cfg.fast_mode) ? 0 : 1;
+    int16_t coefs0[kMaxCoefs], coefs[kMaxCoefs];
+    memcpy(coefs0, st->banks[ch_index].c[bank], sizeof(coefs0));
+    memcpy(coefs, coefs0, sizeof(coefs));
+    pc_block(stream, res1.data(), num, coefs, order, chanbits, kDenshift);
+    for (int stage = 1; stage <= n_stage; stage++) {
+      const int32_t* res = res1.data();
+      int mode = 0;
+      if (stage == 2) {
+        pc_block(res1.data(), res2.data(), num, nullptr, 31, chanbits, 0);
+        res = res2.data();
+        mode = 1;
+      }
+      size_t cost =
+          16 + 16 * (size_t)order + rice_cost_bits(cfg, res, num, chanbits);
+      if (!have || cost < win->cost) {
+        have = true;
+        win->cost = cost;
+        win->mode = mode;
+        win->order = order;
+        memcpy(win->coefs0, coefs0, sizeof(coefs0));
+        memcpy(win->coefs_adapted, coefs, sizeof(coefs));
+        win->res.assign(res, res + num);
+      }
+    }
   }
-  std::vector<int32_t> res(num);
-  for (int ci = 0; ci < nch; ci++) {
-    memcpy(out->coefs_out[ci], coefs_in[ci], sizeof(out->coefs_out[ci]));
-    pc_block(hi[ci], res.data(), num, out->coefs_out[ci], order, chanbits,
-             kDenshift);
-    dyn_comp(ag, bw, res.data(), num, chanbits);
-  }
-  out->bits = bw.bitpos;
 }
 
 void encode_element(const Config& cfg, EncState* st, BitWriter& bw,
@@ -469,85 +545,52 @@ void encode_element(const Config& cfg, EncState* st, BitWriter& bw,
     }
   }
 
-  // stereo mode by deterministic first-difference proxy (matches
-  // alacjax.oracle.encoder.mixres_proxy_cost: uint32-wrapped sum of
-  // |delta| >> 4 over both mixed channels, argmin, first wins ties),
-  // then exact order search
-  int mix_list[1], n_mix = 1;
-  int orders[2], n_ord;
-  if (cfg.fast_mode) {
-    mix_list[0] = is_cpe ? FAST_MIX_RES : 0;
-    orders[0] = FAST_ORDER; n_ord = 1;
+  // stereo mode + per-channel (order x stage) candidate search
+  ChWin win[2];
+  int mixres = 0;
+  if (is_cpe && !cfg.fast_mode && cfg.exhaustive) {
+    // exhaustive: full-rate exact trials over every mixres (the
+    // compression-benchmark upper bound; oracle search="exhaustive")
+    bool have = false;
+    size_t best_total = 0;
+    for (int mr = 0; mr <= MAX_RES; mr++) {
+      mix_streams(hi_buf[0].data(), hi_buf[1].data(), u.data(), v.data(),
+                  num, mr);
+      ChWin cw[2];
+      search_channel(cfg, st, u.data(), num, chanbits, ch_index, &cw[0]);
+      search_channel(cfg, st, v.data(), num, chanbits, ch_index + 1, &cw[1]);
+      size_t total = cw[0].cost + cw[1].cost;
+      if (!have || total < best_total) {
+        have = true;
+        best_total = total;
+        mixres = mr;
+        win[0] = cw[0];
+        win[1] = cw[1];
+      }
+    }
   } else {
-    int best_mr = 0;
     if (is_cpe) {
-      uint32_t best_p = 0;
-      for (int mr = 0; mr <= MAX_RES; mr++) {
-        uint32_t p = 0;
-        const int32_t mod = 1 << DEFAULT_MIX_BITS, m2 = mod - mr;
-        int32_t pu = 0, pv = 0;
-        for (int j = 0; j < num; j++) {
-          int32_t l = hi_buf[0][j], r = hi_buf[1][j];
-          int32_t uu, vv;
-          if (mr != 0) {
-            uu = (int32_t)((uint32_t)mr * (uint32_t)l + (uint32_t)m2 * (uint32_t)r) >> DEFAULT_MIX_BITS;
-            vv = (int32_t)((uint32_t)l - (uint32_t)r);
-          } else { uu = l; vv = r; }
-          if (j) {
-            int64_t du = (int64_t)uu - pu, dv = (int64_t)vv - pv;
-            p += (uint32_t)((du < 0 ? -du : du) >> 4);
-            p += (uint32_t)((dv < 0 ? -dv : dv) >> 4);
-          }
-          pu = uu; pv = vv;
-        }
-        if (mr == 0 || p < best_p) { best_p = p; best_mr = mr; }
-      }
+      mixres = cfg.fast_mode
+                   ? FAST_MIX_RES
+                   : mixres_trial(cfg, hi_buf[0], hi_buf[1], num, chanbits);
     }
-    mix_list[0] = best_mr;
-    orders[0] = SEARCH_ORDERS[0]; orders[1] = SEARCH_ORDERS[1]; n_ord = 2;
-  }
-
-  TrialOut best, cur;
-  int best_mix = 0, best_order = 0;
-  size_t best_cost = ~0ull;
-  for (int mi = 0; mi < n_mix; mi++) {
-    const int mixres = mix_list[mi];
-    const int32_t* hi[2];
-    const uint16_t* lo[2] = {lo_buf[0].data(),
-                             nch == 2 ? lo_buf[1].data() : nullptr};
+    const int32_t* hi[2] = {hi_buf[0].data(),
+                            nch == 2 ? hi_buf[1].data() : nullptr};
     if (is_cpe && mixres != 0) {
-      int32_t mod = 1 << DEFAULT_MIX_BITS, m2 = mod - mixres;
-      for (int j = 0; j < num; j++) {
-        int32_t l = hi_buf[0][j], r = hi_buf[1][j];
-        u[j] = (int32_t)((uint32_t)mixres * (uint32_t)l + (uint32_t)m2 * (uint32_t)r) >> DEFAULT_MIX_BITS;
-        v[j] = (int32_t)((uint32_t)l - (uint32_t)r);
-      }
-      hi[0] = u.data(); hi[1] = v.data();
-    } else {
-      hi[0] = hi_buf[0].data();
-      if (nch == 2) hi[1] = hi_buf[1].data();
+      mix_streams(hi_buf[0].data(), hi_buf[1].data(), u.data(), v.data(),
+                  num, mixres);
+      hi[0] = u.data();
+      hi[1] = v.data();
     }
-    for (int oi = 0; oi < n_ord; oi++) {
-      const int order = orders[oi];
-      int16_t coefs_in[2][kMaxCoefs];
-      for (int ci = 0; ci < nch; ci++) {
-        int bank = (order == SEARCH_ORDERS[0] && !cfg.fast_mode) ? 0 : 1;
-        memcpy(coefs_in[ci], st->banks[ch_index + ci].c[bank],
-               sizeof(coefs_in[ci]));
-      }
-      encode_body(cfg, hi, lo, nch, num, order, chanbits, bs, coefs_in, &cur);
-      size_t cost = cur.bits + (is_cpe ? 16 : 0);
-      if (cost < best_cost) {
-        best_cost = cost;
-        best = cur;
-        best_mix = mixres;
-        best_order = order;
-      }
-    }
+    for (int ci = 0; ci < nch; ci++)
+      search_channel(cfg, st, hi[ci], num, chanbits, ch_index + ci, &win[ci]);
   }
+  size_t body_bits = is_cpe ? 16 : 0;
+  for (int ci = 0; ci < nch; ci++) body_bits += win[ci].cost;
+  body_bits += (size_t)num * nch * 8 * bs;
 
   size_t escape_bits = (size_t)num * cfg.bit_depth * nch;
-  if (best_cost >= (is_cpe ? escape_bits : escape_bits)) {
+  if (body_bits >= escape_bits) {
     write_header(bw, tag, instance, partial, 0, true, num, cfg.frame_length);
     for (int j = 0; j < num; j++)
       for (int ci = 0; ci < nch; ci++)
@@ -556,25 +599,32 @@ void encode_element(const Config& cfg, EncState* st, BitWriter& bw,
   }
 
   if (!independent) {
-    int bank = (best_order == SEARCH_ORDERS[0] && !cfg.fast_mode) ? 0 : 1;
-    for (int ci = 0; ci < nch; ci++)
-      memcpy(st->banks[ch_index + ci].c[bank], best.coefs_out[ci],
-             sizeof(best.coefs_out[ci]));
+    for (int ci = 0; ci < nch; ci++) {
+      int bank =
+          (win[ci].order == SEARCH_ORDERS[0] && !cfg.fast_mode) ? 0 : 1;
+      memcpy(st->banks[ch_index + ci].c[bank], win[ci].coefs_adapted,
+             sizeof(win[ci].coefs_adapted));
+    }
   }
 
   write_header(bw, tag, instance, partial, bs, false, num, cfg.frame_length);
   if (is_cpe) {
     bw.write((uint32_t)DEFAULT_MIX_BITS, 8);
-    bw.write((uint32_t)best_mix & 0xFF, 8);
+    bw.write((uint32_t)mixres & 0xFF, 8);
   }
-  // splice trial body bits
-  BitReader rd{best.bytes.data(), best.bytes.size()};
-  size_t total = best.bits;
-  while (total > 0) {
-    int take = total > 32 ? 32 : (int)total;
-    bw.write(rd.read(take), take);
-    total -= take;
+  for (int ci = 0; ci < nch; ci++) {
+    bw.write((uint32_t)((win[ci].mode << 4) | kDenshift), 8);
+    bw.write((uint32_t)((PB_FACTOR << 5) | win[ci].order), 8);
+    for (int k = 0; k < win[ci].order; k++)
+      bw.write((uint16_t)win[ci].coefs0[k], 16);
   }
+  if (bs) {
+    for (int j = 0; j < num; j++)
+      for (int ci = 0; ci < nch; ci++) bw.write(lo_buf[ci][j], bs * 8);
+  }
+  AgParams ag = standard_ag(cfg);
+  for (int ci = 0; ci < nch; ci++)
+    dyn_comp(ag, bw, win[ci].res.data(), num, chanbits);
 }
 
 int decode_element_channels(const Config& cfg, BitReader& br, int32_t* out0,
@@ -679,6 +729,7 @@ void alac_encoder_free(void* st) { delete (EncState*)st; }
 
 // pcm: planar int32 (num_channels x num_samples).  Returns bytes written
 // or negative on error.
+// fast_mode: 0 = standard search, 1 = fast, 2 = exhaustive (bench bound)
 int alac_encode_packet(void* state, const int32_t* pcm, int num_samples,
                        int frame_length, int bit_depth, int num_channels,
                        int pb, int mb, int kb, int max_run, int fast_mode,
@@ -686,7 +737,7 @@ int alac_encode_packet(void* state, const int32_t* pcm, int num_samples,
   if (num_channels < 1 || num_channels > 8) return -50;
   if (num_samples < 1 || num_samples > frame_length) return -50;
   Config cfg{frame_length, bit_depth, pb, mb, kb, num_channels, max_run,
-             fast_mode};
+             fast_mode == 1, fast_mode == 2};
   EncState* st = (EncState*)state;
   EncState local;
   if (!st) st = &local;
@@ -723,7 +774,8 @@ int alac_encode_packet(void* state, const int32_t* pcm, int num_samples,
 int alac_decode_packet(const uint8_t* data, int nbytes, int frame_length,
                        int bit_depth, int num_channels, int pb, int mb,
                        int kb, int max_run, int32_t* out /* planar */) {
-  Config cfg{frame_length, bit_depth, pb, mb, kb, num_channels, max_run, 0};
+  Config cfg{frame_length, bit_depth, pb, mb, kb, num_channels, max_run, 0,
+             0};
   BitReader br{data, (size_t)nbytes};
   int ch = 0;
   int got = frame_length;

@@ -36,14 +36,20 @@ _UNROLL = 4
 
 
 def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
-                  cost_params=None):
+                  cost_params=None, dual_cost: bool = False):
     """Shared general-mode scan.  x_sb: (S, B) time-major input (samples on
     encode, residuals on decode).  Returns (out (S, B), coefs (B, 16)) or,
     with cost_params=(mb0, pb, kb, wb) on encode, (out, coefs, cost_bits):
     the adaptive-Rice bit cost of the residual stream accumulates inside
     the SAME scan (rice._encode_step_tokens length logic; the codeword
     values are dead code XLA eliminates), so the encoder's candidate
-    search runs one fused scan per candidate instead of two."""
+    search runs one fused scan per candidate instead of two.
+
+    dual_cost=True additionally runs a SECOND Rice cost machine over the
+    first-difference of the residual stream (the stage-2 / mode!=0
+    cascade candidate, dp_enc.c :: pc_block numactive==31 applied to the
+    FIR residuals) and returns (out, coefs, cost_bits, cost2_bits) — the
+    whole order x stage candidate grid then costs one scan per order."""
     S, B = x_sb.shape
     static_na = isinstance(na, int)
     na_v = None if static_na else na.astype(I32)
@@ -62,10 +68,15 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
         from . import rice as rice_mod
         mb0_c, pb_c, kb_c, wb_c = cost_params
 
+    nc = _W + kALACMaxCoefs + 1  # core carry slots
+
     def step(carry, inp):
         if cost_params is not None:
-            carry, rice_state, total = (carry[:_W + kALACMaxCoefs + 1],
-                                        carry[-6:-1], carry[-1])
+            rice_state, total = carry[nc:nc + 5], carry[nc + 5]
+            if dual_cost:
+                prev_out = carry[nc + 6]
+                rice2, total2 = carry[nc + 7:nc + 12], carry[nc + 12]
+            carry = carry[:nc]
         lags, coefs, t = carry[:_W], carry[_W:_W + kALACMaxCoefs], carry[-1]
         x_t = inp
 
@@ -127,23 +138,40 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
             out, t, rice_state, S=S, bit_size=chanbits,
             pb=pb_c, kb=kb_c, wb=wb_c)
         total = total + lens[0] + lens[1] + lens[2]
-        return new_carry + rice_state + (total,), out
+        tail = rice_state + (total,)
+        if dual_cost:
+            d = jnp.where(t == 0, out, sign_extend(out - prev_out, chanbits))
+            rice2, _, lens2 = rice_mod._encode_step_tokens(
+                d, t, rice2, S=S, bit_size=chanbits,
+                pb=pb_c, kb=kb_c, wb=wb_c)
+            total2 = total2 + lens2[0] + lens2[1] + lens2[2]
+            tail = tail + (out,) + rice2 + (total2,)
+        return new_carry + tail, out
 
     carry0 = lags0 + coef_cols0 + (jnp.int32(0),)
     if cost_params is not None:
         carry0 = carry0 + rice_mod._init_state(B, mb0_c) + (
             jnp.zeros((B,), dtype=I32),)
+        if dual_cost:
+            carry0 = carry0 + (zero,) + rice_mod._init_state(B, mb0_c) + (
+                jnp.zeros((B,), dtype=I32),)
     carry_out, out_sb = jax.lax.scan(step, carry0, x_sb, unroll=_UNROLL)
     coefs_out = jnp.stack(carry_out[_W:_W + kALACMaxCoefs], axis=1)
     if cost_params is None:
         return out_sb, coefs_out
-    # virtual end step: flush a pending zero-run token (t == S)
-    rice_state, total = carry_out[-6:-1], carry_out[-1]
-    _, _, lens = rice_mod._encode_step_tokens(
-        jnp.ones((B,), dtype=I32), jnp.int32(S), rice_state, S=S,
-        bit_size=chanbits, pb=pb_c, kb=kb_c, wb=wb_c)
-    total = total + lens[0] + lens[1] + lens[2]
-    return out_sb, coefs_out, total
+
+    def flush(state, total):
+        # virtual end step: flush a pending zero-run token (t == S)
+        _, _, lens = rice_mod._encode_step_tokens(
+            jnp.ones((B,), dtype=I32), jnp.int32(S), state, S=S,
+            bit_size=chanbits, pb=pb_c, kb=kb_c, wb=wb_c)
+        return total + lens[0] + lens[1] + lens[2]
+
+    total = flush(carry_out[nc:nc + 5], carry_out[nc + 5])
+    if not dual_cost:
+        return out_sb, coefs_out, total
+    total2 = flush(carry_out[nc + 7:nc + 12], carry_out[nc + 12])
+    return out_sb, coefs_out, total, total2
 
 
 def _mode31(x, chanbits, decode: bool):
@@ -219,17 +247,62 @@ def pc_block_cost(x, coefs0, numactive: int, chanbits: int, denshift: int,
     pc_block followed by rice.rice_cost, but the cost state machine runs
     inside the predictor scan — the encoder search's hot path.
     """
+    res, cost, _ = pc_block_cost_coefs(
+        x, coefs0, numactive, chanbits, denshift, mb0, pb, kb, wb)
+    return res, cost
+
+
+def pc_block_cost_coefs(x, coefs0, numactive: int, chanbits: int,
+                        denshift: int, mb0: int, pb: int, kb: int, wb: int):
+    """pc_block_cost that also returns the adapted coefficients (B, 16)
+    (needed by the persistent-bank stream encoder, ALACEncoder.cpp's
+    mCoefsU/V members surviving across packets)."""
     from . import pallas as pallas_cfg
     if pallas_cfg.enabled():
         from . import rice as rice_mod
-        res, _ = pc_block(x, coefs0, numactive, chanbits, denshift)
-        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb)
+        res, coefs = pc_block(x, coefs0, numactive, chanbits, denshift)
+        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb), coefs
     x = x.astype(I32)
     if numactive in (0, 31):
         from . import rice as rice_mod
-        res, _ = _run(x, coefs0, numactive, chanbits, denshift, decode=False)
-        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb)
-    out_sb, _, cost = _scan_general(
+        res, coefs = _run(x, coefs0, numactive, chanbits, denshift,
+                          decode=False)
+        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb), coefs
+    out_sb, coefs, cost = _scan_general(
         x.T, coefs0, numactive, chanbits, denshift, decode=False,
         cost_params=(mb0, pb, kb, wb))
-    return out_sb.T, cost
+    return out_sb.T, cost, coefs
+
+
+def wrap_diff(res, chanbits: int):
+    """Stage-2 emission residual: pc_block(res, 31) == first difference
+    with chanbits wraparound (dp_enc.c :: pc_block numactive==31)."""
+    res = res.astype(I32)
+    first = res[:, :1]
+    diffs = sign_extend(res[:, 1:] - res[:, :-1], chanbits)
+    return jnp.concatenate([first, diffs], axis=1)
+
+
+def pc_block_cost2(x, coefs0, numactive: int, chanbits: int, denshift: int,
+                   mb0: int, pb: int, kb: int, wb: int):
+    """Fused forward prediction + Rice cost of BOTH stage candidates.
+
+    (B, S) samples -> (residuals (B, S), cost1 (B,), cost2 (B,),
+    coefs (B, 16)) where cost1 prices the FIR residuals (mode 0) and
+    cost2 prices their first difference (mode != 0, two-stage cascade) —
+    one scan total.  The stage-2 residuals are wrap_diff(residuals);
+    coefs are the adapted coefficients (stage 2's first-difference pass
+    does not touch them).
+    """
+    from . import pallas as pallas_cfg
+    x = x.astype(I32)
+    if pallas_cfg.enabled() or numactive in (0, 31):
+        from . import rice as rice_mod
+        res, coefs = pc_block(x, coefs0, numactive, chanbits, denshift)
+        return (res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb),
+                rice_mod.rice_cost(wrap_diff(res, chanbits), chanbits,
+                                   mb0, pb, kb, wb), coefs)
+    out_sb, coefs, cost, cost2 = _scan_general(
+        x.T, coefs0, numactive, chanbits, denshift, decode=False,
+        cost_params=(mb0, pb, kb, wb), dual_cost=True)
+    return out_sb.T, cost, cost2, coefs

@@ -16,16 +16,26 @@ ALAC packet per call, bit-compatible with our decoder's element grammar:
   escape   -> raw samples at bit_depth (CPE: interleaved L,R)
   final    -> 3b ID_END, byte-align with zeros
 
-Search policy (our dialect — the reference's dilated trial search is
-⚠ VERIFY per SURVEY.md §0): mixres ∈ 0..4 (CPE) is chosen by a cheap
-deterministic first-difference proxy (see mixres_proxy_cost: uint32-
-wrapped sum of |Δ|>>4 over both mixed channels; argmin, first wins
-ties — identical in oracle/native/device so packets stay byte-equal),
-then an exact trial encode over order ∈ {4, 8} picks the cheaper; cost =
-exact element bits, first minimum wins.  fast_mode uses (mixres=2,
-order=8) with no search.  Escape when best compressed size >= escape
-size.  Encoder coefficient banks persist across packets per
-(channel, order) unless independent_frames.
+Search policy (our dialect, v2 — the reference's exact dilated trial
+search is ⚠ VERIFY per SURVEY.md §0; this mirrors its structure:
+subsampled trial compression for the stereo mode, then exact trials over
+predictor configurations, codec/ALACEncoder.cpp :: EncodeStereo):
+
+  * mixres ∈ 0..4 (CPE): exact *dilated* trial — mix every
+    MIXRES_DILATE-th sample, predict with a fresh order-8 coef set, and
+    Rice-cost both streams; argmin total bits, first minimum wins.
+  * per channel, independently: order ∈ {4, 8} × stage ∈ {1, 2}
+    (stage 2 = the two-stage cascade, mode != 0: FIR residuals pass
+    through a numactive==31 first-difference stage).  Cost = exact
+    channel bits (chparams + coefs + Rice); first minimum wins, in
+    candidate order (4,1),(4,2),(8,1),(8,2).
+
+fast_mode uses (mixres=2, order=8, stage=1) with no search.  Escape when
+the compressed body >= the escape body (element headers cancel).
+``search="exhaustive"`` replaces the dilated mixres trial with full-rate
+exact trials over every mixres (the compression-benchmark upper bound —
+same grammar, maximal search).  Encoder coefficient banks persist across
+packets per (channel, order) unless independent_frames.
 """
 
 from __future__ import annotations
@@ -43,25 +53,11 @@ from . import ag, dp, matrix
 DEFAULT_MIX_BITS = 2
 MAX_RES = 4
 SEARCH_ORDERS = (4, 8)
+SEARCH_STAGES = (1, 2)   # 1 = FIR only (mode 0); 2 = FIR + first-diff (mode 1)
+MIXRES_DILATE = 4        # mixres trial subsampling (reference uses dilation)
 FAST_ORDER = 8
 FAST_MIX_RES = 2
 PB_FACTOR = 4
-
-
-PROXY_SHIFT = 4
-
-
-def mixres_proxy_cost(u: np.ndarray, v: np.ndarray) -> int:
-    """Deterministic stereo-mode selection proxy: uint32-wrapped sum of
-    first-difference magnitudes (>> PROXY_SHIFT) over both channels.
-
-    A cheap order-1 predictability estimate (the FLAC-style heuristic);
-    uint32 wraparound keeps it exactly reproducible across the python /
-    C++ / JAX implementations for any frame length.
-    """
-    du = np.abs(np.diff(np.asarray(u, dtype=np.int64))) >> PROXY_SHIFT
-    dv = np.abs(np.diff(np.asarray(v, dtype=np.int64))) >> PROXY_SHIFT
-    return int((int(du.sum()) + int(dv.sum())) & 0xFFFFFFFF)
 
 
 def bytes_shifted_for_depth(bit_depth: int) -> int:
@@ -104,8 +100,12 @@ def _rice_params(config: AlacConfig, num_samples: int, pb_factor: int) -> ag.AGP
 class ALACEncoder:
     """Stateful packet encoder mirroring the reference class surface."""
 
-    def __init__(self, config: AlacConfig, independent_frames: bool = False):
+    def __init__(self, config: AlacConfig, independent_frames: bool = False,
+                 search: str = "standard"):
+        if search not in ("standard", "exhaustive"):
+            raise AlacParamError(f"unknown search mode {search!r}")
         self.config = config
+        self.search = search
         self.independent_frames = independent_frames
         # persistent coef banks: {(channel_index, order): coefs}
         self._coef_banks: dict[tuple[int, int], np.ndarray] = {}
@@ -169,6 +169,72 @@ class ALACEncoder:
             self._coef_banks[key] = dp.init_coefs(DENSHIFT_DEFAULT)
         return self._coef_banks[key]
 
+    # -- search ------------------------------------------------------------
+    def _rice_cost(self, res: np.ndarray, num_samples: int,
+                   chanbits: int) -> int:
+        trial = BitBuffer(byte_size=6 * num_samples + 64)
+        ag.dyn_comp(_rice_params(self.config, num_samples, PB_FACTOR), trial,
+                    res, num_samples, chanbits)
+        return trial.get_position()
+
+    def _mixres_trial(self, l_hi: np.ndarray, r_hi: np.ndarray,
+                      chanbits: int, num_samples: int) -> int:
+        """Exact dilated stereo-mode trial (reference: EncodeStereo's
+        subsampled search): mix every MIXRES_DILATE-th sample, predict
+        with fresh order-8 coefs, Rice-cost both streams; argmin."""
+        ld = np.asarray(l_hi[::MIXRES_DILATE])
+        rd = np.asarray(r_hi[::MIXRES_DILATE])
+        nd = len(ld)
+        best_mr, best_cost = 0, None
+        for mr in range(MAX_RES + 1):
+            u, v = matrix.mix(ld, rd, DEFAULT_MIX_BITS, mr)
+            cost = 0
+            for s in (u, v):
+                coefs = dp.init_coefs(DENSHIFT_DEFAULT)
+                res = dp.pc_block(s, coefs, FAST_ORDER, chanbits,
+                                  DENSHIFT_DEFAULT)
+                cost += self._rice_cost(res, nd, chanbits)
+            if best_cost is None or cost < best_cost:
+                best_mr, best_cost = mr, cost
+        return best_mr
+
+    def _search_channel(self, stream: np.ndarray, ch_index: int,
+                        chanbits: int, num_samples: int) -> dict:
+        """Per-channel candidate search over order x stage.
+
+        Returns the winner as dict(cost, mode, order, res, coefs0,
+        coefs_adapted); cost = chparam + coef + Rice bits for this
+        channel only (shared element fields are candidate-invariant).
+        Candidate order (4,1),(4,2),(8,1),(8,2); first minimum wins.
+        """
+        if self.config.fast_mode:
+            orders, stages = (FAST_ORDER,), (1,)
+        else:
+            orders, stages = SEARCH_ORDERS, SEARCH_STAGES
+        best = None
+        for order in orders:
+            coefs0 = dp.copy_coefs(self._bank(ch_index, order))
+            coefs = coefs0.copy()
+            res1 = dp.pc_block(stream, coefs, order, chanbits,
+                               DENSHIFT_DEFAULT)
+            for stage in stages:
+                if stage == 1:
+                    res, mode = res1, 0
+                else:
+                    res = dp.pc_block(res1, coefs[:0], 31, chanbits, 0)
+                    mode = 1
+                cost = 16 + 16 * order + self._rice_cost(
+                    res, num_samples, chanbits)
+                if best is None or cost < best["cost"]:
+                    best = dict(cost=cost, mode=mode, order=order, res=res,
+                                coefs0=coefs0, coefs_adapted=coefs)
+        return best
+
+    def _write_channel_body(self, bits: BitBuffer, win: dict,
+                            num_samples: int, chanbits: int) -> None:
+        ag.dyn_comp(_rice_params(self.config, num_samples, PB_FACTOR), bits,
+                    win["res"], num_samples, chanbits)
+
     # -- CPE ---------------------------------------------------------------
     def _encode_cpe(self, bits: BitBuffer, tag: ElementTag, instance: int,
                     left: np.ndarray, right: np.ndarray, num_samples: int,
@@ -181,44 +247,30 @@ class ALACEncoder:
         l_hi, l_lo = matrix.shift_off(left, bs)
         r_hi, r_lo = matrix.shift_off(right, bs)
 
+        # stereo mode: fast constant / dilated exact trial / exhaustive
         if cfg.fast_mode:
-            candidates = [(FAST_MIX_RES, FAST_ORDER)]
+            mix_list = [FAST_MIX_RES]
+        elif self.search == "exhaustive":
+            mix_list = list(range(MAX_RES + 1))
         else:
-            # stereo mode by deterministic proxy, then exact order search
-            best_mr, best_proxy = 0, None
-            for mr in range(MAX_RES + 1):
-                u, v = matrix.mix(l_hi, r_hi, mixbits, mr)
-                p = mixres_proxy_cost(u, v)
-                if best_proxy is None or p < best_proxy:
-                    best_mr, best_proxy = mr, p
-            candidates = [(best_mr, od) for od in SEARCH_ORDERS]
+            mix_list = [self._mixres_trial(l_hi, r_hi, chanbits, num_samples)]
 
-        best = None  # (bits_cost, trial_bits, mixres, order, coefsU_final, coefsV_final)
-        for mixres, order in candidates:
+        best = None  # (total_cost, mixres, winU, winV)
+        for mixres in mix_list:
             u, v = matrix.mix(l_hi, r_hi, mixbits, mixres)
-            cu = dp.copy_coefs(self._bank(ch_index, order))
-            cv = dp.copy_coefs(self._bank(ch_index + 1, order))
-            cu0, cv0 = cu.copy(), cv.copy()
-            trial = BitBuffer(byte_size=cfg.max_escape_packet_bytes(num_samples))
-            _write_channel_params(trial, 0, DENSHIFT_DEFAULT, PB_FACTOR, cu0, order)
-            _write_channel_params(trial, 0, DENSHIFT_DEFAULT, PB_FACTOR, cv0, order)
-            if bs:
-                for j in range(num_samples):
-                    trial.write(int(l_lo[j]), bs * 8)
-                    trial.write(int(r_lo[j]), bs * 8)
-            res_u = dp.pc_block(u, cu, order, chanbits, DENSHIFT_DEFAULT)
-            ag.dyn_comp(_rice_params(cfg, num_samples, PB_FACTOR), trial,
-                        res_u, num_samples, chanbits)
-            res_v = dp.pc_block(v, cv, order, chanbits, DENSHIFT_DEFAULT)
-            ag.dyn_comp(_rice_params(cfg, num_samples, PB_FACTOR), trial,
-                        res_v, num_samples, chanbits)
-            cost = 16 + trial.get_position()  # + mixBits/mixRes fields
-            if best is None or cost < best[0]:
-                best = (cost, trial, mixres, order, cu, cv)
+            win_u = self._search_channel(u, ch_index, chanbits, num_samples)
+            win_v = self._search_channel(v, ch_index + 1, chanbits,
+                                         num_samples)
+            total = win_u["cost"] + win_v["cost"]
+            if best is None or total < best[0]:
+                best = (total, mixres, win_u, win_v)
 
+        _, mixres, win_u, win_v = best
+        shift_bits = 2 * num_samples * 8 * bs
+        body_bits = 16 + win_u["cost"] + win_v["cost"] + shift_bits
         escape_bits = num_samples * cfg.bit_depth * 2
         # element headers are identical in both forms, so compare bodies
-        if best[0] >= escape_bits:
+        if body_bits >= escape_bits:
             # escape frame: raw interleaved PCM at full depth
             _write_element_header(bits, tag, instance, partial, 0, True, num_samples)
             for j in range(num_samples):
@@ -226,16 +278,22 @@ class ALACEncoder:
                 bits.write(int(right[j]) & ((1 << cfg.bit_depth) - 1), cfg.bit_depth)
             return
 
-        cost, trial, mixres, order, cu, cv = best
         # commit winning coef adaptation to the persistent banks
-        self._coef_banks[(ch_index, order)] = cu
-        self._coef_banks[(ch_index + 1, order)] = cv
+        self._coef_banks[(ch_index, win_u["order"])] = win_u["coefs_adapted"]
+        self._coef_banks[(ch_index + 1, win_v["order"])] = win_v["coefs_adapted"]
 
         _write_element_header(bits, tag, instance, partial, bs, False, num_samples)
         bits.write(mixbits, 8)
         bits.write(mixres, 8)
-        # splice the trial body (channel params + shift bytes + rice streams)
-        _append_bits(bits, trial)
+        for win in (win_u, win_v):
+            _write_channel_params(bits, win["mode"], DENSHIFT_DEFAULT,
+                                  PB_FACTOR, win["coefs0"], win["order"])
+        if bs:
+            for j in range(num_samples):
+                bits.write(int(l_lo[j]), bs * 8)
+                bits.write(int(r_lo[j]), bs * 8)
+        for win in (win_u, win_v):
+            self._write_channel_body(bits, win, num_samples, chanbits)
 
     # -- SCE / LFE ---------------------------------------------------------
     def _encode_sce(self, bits: BitBuffer, tag: ElementTag, instance: int,
@@ -246,41 +304,23 @@ class ALACEncoder:
         chanbits = cfg.bit_depth - 8 * bs
         s_hi, s_lo = matrix.shift_off(samples, bs)
 
-        orders = (FAST_ORDER,) if cfg.fast_mode else SEARCH_ORDERS
-        best = None
-        for order in orders:
-            cu = dp.copy_coefs(self._bank(ch_index, order))
-            cu0 = cu.copy()
-            trial = BitBuffer(byte_size=cfg.max_escape_packet_bytes(num_samples))
-            _write_channel_params(trial, 0, DENSHIFT_DEFAULT, PB_FACTOR, cu0, order)
-            if bs:
-                for j in range(num_samples):
-                    trial.write(int(s_lo[j]), bs * 8)
-            res = dp.pc_block(s_hi, cu, order, chanbits, DENSHIFT_DEFAULT)
-            ag.dyn_comp(_rice_params(cfg, num_samples, PB_FACTOR), trial,
-                        res, num_samples, chanbits)
-            if best is None or trial.get_position() < best[0]:
-                best = (trial.get_position(), trial, order, cu)
+        win = self._search_channel(s_hi, ch_index, chanbits, num_samples)
 
+        body_bits = win["cost"] + num_samples * 8 * bs
         escape_bits = num_samples * cfg.bit_depth
-        if best[0] >= escape_bits:
+        if body_bits >= escape_bits:
             _write_element_header(bits, tag, instance, partial, 0, True, num_samples)
             for j in range(num_samples):
                 bits.write(int(samples[j]) & ((1 << cfg.bit_depth) - 1), cfg.bit_depth)
             return
 
-        _, trial, order, cu = best
-        self._coef_banks[(ch_index, order)] = cu
+        self._coef_banks[(ch_index, win["order"])] = win["coefs_adapted"]
         _write_element_header(bits, tag, instance, partial, bs, False, num_samples)
-        _append_bits(bits, trial)
+        _write_channel_params(bits, win["mode"], DENSHIFT_DEFAULT, PB_FACTOR,
+                              win["coefs0"], win["order"])
+        if bs:
+            for j in range(num_samples):
+                bits.write(int(s_lo[j]), bs * 8)
+        self._write_channel_body(bits, win, num_samples, chanbits)
 
 
-def _append_bits(dst: BitBuffer, src: BitBuffer) -> None:
-    """Append src's bit contents to dst (bit-aligned splice)."""
-    total = src.get_position()
-    pos = 0
-    src_rd = BitBuffer(bytes(src.buf))
-    while pos < total:
-        take = min(32, total - pos)
-        dst.write(src_rd.read(take), take)
-        pos += take

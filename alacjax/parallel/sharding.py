@@ -80,7 +80,9 @@ class ShardedCodec:
 
             This is the 'training step' analog for the codec: the complete
             compute pipeline plus the only collective the system needs
-            (packet-table byte accounting over the frames axis).
+            (packet-table byte accounting over the frames axis).  Returns
+            the encoded words/bits too so callers can assert byte-parity
+            against the host implementations without a second program.
             """
             words, bits = _codec.encode_frames_device(
                 pcm, config=config, num_words=self.num_words)
@@ -89,12 +91,12 @@ class ShardedCodec:
             total_bytes = jnp.sum((bits + 7) // 8)
             mismatch = jnp.sum((decoded != pcm.astype(jnp.int32))
                                .astype(jnp.int32))
-            return decoded, total_bytes, mismatch, err
+            return decoded, words, bits, total_bytes, mismatch, err
 
         self._roundtrip = jax.jit(
             train_step,
             in_shardings=(shard,),
-            out_shardings=(shard, repl, repl, shard),
+            out_shardings=(shard, shard, shard, repl, repl, shard),
         )
 
     # -- host API --------------------------------------------------------

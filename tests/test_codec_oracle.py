@@ -180,8 +180,8 @@ def test_golden_stream_hash_pinned(rng):
     assert digest == GOLDEN_SINE_16_2_SHA256, digest
 
 
-# regenerated 2026-08-16: dialect change — mixres now chosen by the
-# deterministic first-difference proxy instead of exhaustive trial
+# regenerated 2026-08-16: search dialect v2 — exact dilated mixres trial
+# + per-channel order x stage candidates (two-stage cascade, mode != 0)
 GOLDEN_SINE_16_2_SHA256 = (
-    "351dd2cb9ec96c50c678be0cb884ce1e1e3d2ac7cd424e135c8f6d5abef77d2d"
+    "7a558800e8da2fe1127e87856a2fd64dc06e1d48dc517528d763a165c1de72df"
 )

@@ -31,7 +31,7 @@ def test_sharded_roundtrip_step_lossless(rng, mesh):
     codec = ShardedCodec(cfg, mesh=mesh, chunk=mesh.size * 2)
     B = mesh.size * 2
     pcm = np.stack([gen_pcm(rng, "sine", 2, S, 16) for _ in range(B)])
-    decoded, total_bytes, mismatch, err = codec.roundtrip_step(
+    decoded, _, _, total_bytes, mismatch, err = codec.roundtrip_step(
         pcm.astype(np.int32))
     assert int(mismatch) == 0
     assert not np.asarray(err).any()

@@ -114,3 +114,28 @@ def test_rice_decoder_rejects_overrun_run():
     rd = BitBuffer(bb.to_bytes())
     with pytest.raises(AlacParamError):
         ag.dyn_decomp(ag.set_standard_ag_params(50, 50), rd, 50, 17)
+
+
+def test_max_run_is_wire_only(rng):
+    """Pin the dialect rule (docs/BITSTREAM.md): cookie maxRun is carried
+    on the wire but does not parameterize the zero-run loop — the cap is
+    65535 (16-bit escape ceiling).  A >255-sample zero run encodes
+    byte-identically under default and non-default maxRun."""
+    import dataclasses
+
+    from alacjax.cookie import parse_cookie, serialize_cookie
+    from alacjax.oracle import ALACDecoder, ALACEncoder
+    from alacjax.types import AlacConfig
+
+    x = np.zeros((1, 2048), dtype=np.int64)
+    x[0, 0] = 999
+    x[0, -1] = -7  # zero run of 2046 > 255 in between
+    cfg_a = AlacConfig(bit_depth=16, num_channels=1, frame_length=2048)
+    cfg_b = dataclasses.replace(cfg_a, max_run=40)
+    pkt_a = ALACEncoder(cfg_a).encode_packet(x)
+    pkt_b = ALACEncoder(cfg_b).encode_packet(x)
+    assert pkt_a == pkt_b  # run loop ignores maxRun
+    # ... but the cookie does carry it
+    assert parse_cookie(serialize_cookie(cfg_b)).max_run == 40
+    y, _ = ALACDecoder(cfg_b).decode_packet(pkt_b)
+    np.testing.assert_array_equal(y, x)
