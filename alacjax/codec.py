@@ -144,25 +144,41 @@ def _candidate_search(chans, chanbits, config, is_cpe, banks=None):
     orders = [FAST_ORDER] if fast else list(SEARCH_ORDERS)
     stages = [1] if fast else list(SEARCH_STAGES)
     init0 = _init_coefs_batched(B)
+    W = len(streams)
+
+    # ---- stacked candidate grid: ONE scan over (orders x channels x B)
+    # lanes with per-lane numactive — the scans are latency-bound, so
+    # fewer sequential scans wins even with the masked 16-tap body ----
+    def c0_for(ci, od):
+        return init0 if banks is None else banks[ci][od]
+
+    xs = jnp.concatenate([s for _ in orders for s in streams], axis=0)
+    c0s = jnp.concatenate([c0_for(ci, od) for od in orders
+                           for ci in range(W)], axis=0)
+    with jax.named_scope("alacjax.predict_cost"):
+        if len(orders) == 1 and stages == [1]:
+            res_all, c1_all, coefs_all = predict.pc_block_cost_coefs(
+                xs, c0s, orders[0], chanbits, DENSHIFT_DEFAULT,
+                mb0, pb, kb, wb)
+            c2_all = None
+        else:
+            na = jnp.concatenate(
+                [jnp.full((W * B,), od, dtype=I32) for od in orders], axis=0)
+            res_all, c1_all, c2_all, coefs_all = predict.pc_block_cost2(
+                xs, c0s, na, chanbits, DENSHIFT_DEFAULT, mb0, pb, kb, wb)
 
     res_list, order_list, mode_list = [], [], []
     rice_list, coefs0_list, adapted_list = [], [], []
-    for ci, s in enumerate(streams):
-        by_order, by_c0, by_adapt, cand_costs, cand_rice = {}, {}, {}, [], []
-        for od in orders:
-            c0 = init0 if banks is None else banks[ci][od]
-            with jax.named_scope("alacjax.predict_cost"):
-                if stages == [1]:
-                    res, c1, coefs = predict.pc_block_cost_coefs(
-                        s, c0, od, chanbits, DENSHIFT_DEFAULT,
-                        mb0, pb, kb, wb)
-                    rcosts = [c1]
-                else:
-                    res, c1, c2, coefs = predict.pc_block_cost2(
-                        s, c0, od, chanbits, DENSHIFT_DEFAULT,
-                        mb0, pb, kb, wb)
-                    rcosts = [c1, c2]
-            by_order[od], by_c0[od], by_adapt[od] = res, c0, coefs
+    for ci in range(W):
+        cand_costs, cand_rice = [], []
+        by_order, by_c0, by_adapt = {}, {}, {}
+        for oi, od in enumerate(orders):
+            sl = slice((oi * W + ci) * B, (oi * W + ci + 1) * B)
+            by_order[od] = res_all[sl]
+            by_c0[od] = c0_for(ci, od)
+            by_adapt[od] = coefs_all[sl]
+            rcosts = [c1_all[sl]] if c2_all is None else [c1_all[sl],
+                                                          c2_all[sl]]
             for stg, rc in zip(stages, rcosts):
                 cand_costs.append(16 + 16 * od + rc)
                 cand_rice.append(rc)

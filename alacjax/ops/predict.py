@@ -283,7 +283,7 @@ def wrap_diff(res, chanbits: int):
     return jnp.concatenate([first, diffs], axis=1)
 
 
-def pc_block_cost2(x, coefs0, numactive: int, chanbits: int, denshift: int,
+def pc_block_cost2(x, coefs0, numactive, chanbits: int, denshift: int,
                    mb0: int, pb: int, kb: int, wb: int):
     """Fused forward prediction + Rice cost of BOTH stage candidates.
 
@@ -293,16 +293,23 @@ def pc_block_cost2(x, coefs0, numactive: int, chanbits: int, denshift: int,
     one scan total.  The stage-2 residuals are wrap_diff(residuals);
     coefs are the adapted coefficients (stage 2's first-difference pass
     does not touch them).
+
+    ``numactive`` may be a per-lane (B,) array of orders in 1..16 — the
+    encoder stacks its whole (order x channel) candidate grid into ONE
+    scan this way (fewer sequential scans beats the masked-tap overhead:
+    the scans are latency-bound, not lane-bound).
     """
     from . import pallas as pallas_cfg
     x = x.astype(I32)
-    if pallas_cfg.enabled() or numactive in (0, 31):
+    static_na = isinstance(numactive, int)
+    if pallas_cfg.enabled() or (static_na and numactive in (0, 31)):
         from . import rice as rice_mod
         res, coefs = pc_block(x, coefs0, numactive, chanbits, denshift)
         return (res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb),
                 rice_mod.rice_cost(wrap_diff(res, chanbits), chanbits,
                                    mb0, pb, kb, wb), coefs)
+    na = numactive if static_na else numactive.astype(I32)
     out_sb, coefs, cost, cost2 = _scan_general(
-        x.T, coefs0, numactive, chanbits, denshift, decode=False,
+        x.T, coefs0, na, chanbits, denshift, decode=False,
         cost_params=(mb0, pb, kb, wb), dual_cost=True)
     return out_sb.T, cost, cost2, coefs
