@@ -96,80 +96,89 @@ def _init_coefs_batched(B):
     return jnp.broadcast_to(row, (B, kALACMaxCoefs))
 
 
-def _candidate_search(chans, chanbits, config, is_cpe, banks=None):
-    """The v2 search dialect on device (mirrors oracle.encoder):
+def _mixres_select(cpe_pairs, chanbits, config):
+    """Stereo-mode selection for ALL CPE elements of the packet in one
+    stacked dilated trial (v2 dialect, mirrors oracle.encoder
+    ._mixres_trial): mix every MIXRES_DILATE-th sample for each mixres
+    0..4, run the fused predict+cost scan (order 8, fresh coefs) over
+    all (n_cpe x 5 x 2) candidate streams at once, per-element argmin of
+    the summed cost (first minimum wins).
 
-    1. stereo mode (CPE): exact DILATED trial — mix every MIXRES_DILATE-th
-       sample for each mixres 0..4, run the fused predict+cost scan
-       (order 8, fresh coefs) over all 10 stacked candidate streams at
-       once, argmin of the summed cost (first minimum wins);
-    2. per channel, independently: order {4, 8} x stage {1, 2} — ONE
-       dual-cost scan per order prices both stages; candidate order
-       (4,1),(4,2),(8,1),(8,2), first minimum wins.
-
-    chans: list of (B, S) high-part channel arrays (1 for SCE, 2 CPE).
-    banks: optional per-channel {order: (B, 16) coefs} starting banks
-    (persistent-coefficient stream mode); defaults to init_coefs.
-    Returns per-channel lists (res, order, mode, rice_bits, coefs0_win,
-    {order: adapted coefs}) + mixres (B,).
+    cpe_pairs: list of (l_hi, r_hi) tuples; chanbits: the (shared) CPE
+    chanbits.  Returns list of (B,) mixres selections.
     """
-    B, S = chans[0].shape
+    B = cpe_pairs[0][0].shape[0]
+    mb0, pb, kb, wb = _rice_params_static(config)
+    cand = []
+    for l_hi, r_hi in cpe_pairs:
+        ld = l_hi[:, ::MIXRES_DILATE]
+        rd = r_hi[:, ::MIXRES_DILATE]
+        for mr in range(MAX_RES + 1):
+            u, v = matrix.mix(ld, rd, DEFAULT_MIX_BITS, mr)
+            cand.extend((u, v))
+    st = jnp.concatenate(cand, axis=0)          # (n_cpe*10*B, nd)
+    with jax.named_scope("alacjax.mixres_trial"):
+        _, c = predict.pc_block_cost(
+            st, _init_coefs_batched(st.shape[0]), FAST_ORDER,
+            chanbits, DENSHIFT_DEFAULT, mb0, pb, kb, wb)
+    tot = c.reshape(len(cpe_pairs), MAX_RES + 1, 2, B).sum(axis=2)
+    return [jnp.argmin(tot[e], axis=0).astype(I32)
+            for e in range(len(cpe_pairs))]
+
+
+def _search_channels(streams, chanbits_list, config, banks=None):
+    """Per-channel (order x stage) candidate search for ALL channels of
+    ALL elements in ONE dual-cost scan (v2 dialect):
+
+    the scan runs over (orders x channels x B) stacked lanes with
+    per-lane numactive and per-lane chanbits (SCE and CPE channels
+    differ by one bit) — the scans are latency-bound on the per-sample
+    dependency, so fewer sequential scans beats the masked-tap overhead.
+    Candidate order (4,1),(4,2),(8,1),(8,2); first minimum wins.
+
+    streams: list of (B, S) channel streams (post-mix, post-shift);
+    chanbits_list: per-stream ints; banks: optional per-stream
+    {order: (B, 16)} coefficient banks (persistent stream mode).
+    Returns per-channel lists (res, order, mode, rice_bits, coefs0_win,
+    {order: adapted coefs}).
+    """
+    B = streams[0].shape[0]
     mb0, pb, kb, wb = _rice_params_static(config)
     fast = config.fast_mode
-
-    if is_cpe:
-        if fast:
-            mixres_sel = jnp.full((B,), FAST_MIX_RES, dtype=I32)
-        else:
-            ld = chans[0][:, ::MIXRES_DILATE]
-            rd = chans[1][:, ::MIXRES_DILATE]
-            cand = []
-            for mr in range(MAX_RES + 1):
-                u, v = matrix.mix(ld, rd, DEFAULT_MIX_BITS, mr)
-                cand.extend((u, v))
-            st = jnp.concatenate(cand, axis=0)          # (10B, nd)
-            with jax.named_scope("alacjax.mixres_trial"):
-                _, c = predict.pc_block_cost(
-                    st, _init_coefs_batched(st.shape[0]), FAST_ORDER,
-                    chanbits, DENSHIFT_DEFAULT, mb0, pb, kb, wb)
-            tot = c.reshape(MAX_RES + 1, 2, B).sum(axis=1)   # (5, B)
-            mixres_sel = jnp.argmin(tot, axis=0).astype(I32)
-        u, v = matrix.mix(chans[0], chans[1], DEFAULT_MIX_BITS,
-                          mixres_sel[:, None])
-        streams = [u, v]
-    else:
-        mixres_sel = jnp.zeros((B,), dtype=I32)
-        streams = [chans[0]]
-
     orders = [FAST_ORDER] if fast else list(SEARCH_ORDERS)
     stages = [1] if fast else list(SEARCH_STAGES)
     init0 = _init_coefs_batched(B)
     W = len(streams)
+    uniform_cb = len(set(chanbits_list)) == 1
 
-    # ---- stacked candidate grid: ONE scan over (orders x channels x B)
-    # lanes with per-lane numactive — the scans are latency-bound, so
-    # fewer sequential scans wins even with the masked 16-tap body ----
     def c0_for(ci, od):
         return init0 if banks is None else banks[ci][od]
 
     xs = jnp.concatenate([s for _ in orders for s in streams], axis=0)
     c0s = jnp.concatenate([c0_for(ci, od) for od in orders
                            for ci in range(W)], axis=0)
+    if uniform_cb:
+        cb_all = chanbits_list[0]
+    else:
+        cb_lane = jnp.concatenate(
+            [jnp.full((B,), cb, dtype=I32) for cb in chanbits_list], axis=0)
+        cb_all = jnp.tile(cb_lane, len(orders))
     with jax.named_scope("alacjax.predict_cost"):
         if len(orders) == 1 and stages == [1]:
             res_all, c1_all, coefs_all = predict.pc_block_cost_coefs(
-                xs, c0s, orders[0], chanbits, DENSHIFT_DEFAULT,
+                xs, c0s, orders[0], cb_all, DENSHIFT_DEFAULT,
                 mb0, pb, kb, wb)
             c2_all = None
         else:
             na = jnp.concatenate(
                 [jnp.full((W * B,), od, dtype=I32) for od in orders], axis=0)
             res_all, c1_all, c2_all, coefs_all = predict.pc_block_cost2(
-                xs, c0s, na, chanbits, DENSHIFT_DEFAULT, mb0, pb, kb, wb)
+                xs, c0s, na, cb_all, DENSHIFT_DEFAULT, mb0, pb, kb, wb)
 
     res_list, order_list, mode_list = [], [], []
     rice_list, coefs0_list, adapted_list = [], [], []
     for ci in range(W):
+        chanbits = chanbits_list[ci]
         cand_costs, cand_rice = [], []
         by_order, by_c0, by_adapt = {}, {}, {}
         for oi, od in enumerate(orders):
@@ -208,7 +217,7 @@ def _candidate_search(chans, chanbits, config, is_cpe, banks=None):
         rice_list.append(rice_win)
         coefs0_list.append(coefs0_win)
         adapted_list.append(by_adapt)
-    return (res_list, order_list, mode_list, mixres_sel, rice_list,
+    return (res_list, order_list, mode_list, rice_list,
             coefs0_list, adapted_list)
 
 
@@ -276,7 +285,7 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
     bs = bytes_shifted_for_depth(depth)
     mb0, pb, kb, wb = _rice_params_static(config)
 
-    # ---- pass 1: per-element search + exact sizes -> absolute offsets ----
+    # ---- pass 1a: per-element prep (shift-off) ----
     elems = []
     ch = 0
     tag_counters = {}
@@ -293,25 +302,59 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             hi, lo = matrix.shift_off(c, bs)
             his.append(hi)
             los.append(lo)
-        elem_banks = (None if banks is None else
-                      [banks[ch0 + i] for i in range(width)])
-        (res_win, orders_win, modes_win, mixres_win, rice_bits,
-         coefs0_win, adapted) = _candidate_search(
-            his, chanbits, config, is_cpe, banks=elem_banks)
-        hdr_bits = (23 + (16 if is_cpe else 0) + width * 16
-                    + 16 * sum(orders_win))
-        shift_bits = width * S * 8 * bs
-        comp_bits = hdr_bits + shift_bits + sum(rice_bits)
-        esc_bits = 23 + width * S * depth
-        use_escape = comp_bits >= esc_bits
         elems.append(dict(
             tag=tag, instance=instance, width=width, is_cpe=is_cpe,
-            chanbits=chanbits, chans=chans, los=los, res_win=res_win,
-            orders_win=orders_win, modes_win=modes_win,
-            mixres_win=mixres_win, rice_bits=rice_bits,
-            coefs0_win=coefs0_win, adapted=adapted, ch0=ch0,
-            hdr_bits=hdr_bits, use_escape=use_escape,
-            elem_bits=jnp.where(use_escape, esc_bits, comp_bits)))
+            chanbits=chanbits, chans=chans, his=his, los=los, ch0=ch0))
+
+    # ---- pass 1b: stereo mode for all CPE elements, one stacked trial ----
+    cpes = [e for e in elems if e["is_cpe"]]
+    if config.fast_mode:
+        for e in cpes:
+            e["mixres_win"] = jnp.full((B,), FAST_MIX_RES, dtype=I32)
+    elif cpes:
+        sels = _mixres_select([(e["his"][0], e["his"][1]) for e in cpes],
+                              cpes[0]["chanbits"], config)
+        for e, sel in zip(cpes, sels):
+            e["mixres_win"] = sel
+    for e in elems:
+        if e["is_cpe"]:
+            u, v = matrix.mix(e["his"][0], e["his"][1], DEFAULT_MIX_BITS,
+                              e["mixres_win"][:, None])
+            e["streams"] = [u, v]
+        else:
+            e["mixres_win"] = jnp.zeros((B,), dtype=I32)
+            e["streams"] = [e["his"][0]]
+
+    # ---- pass 1c: ONE stacked search over every channel of the packet ----
+    all_streams, all_cb, all_banks = [], [], []
+    for e in elems:
+        all_streams.extend(e["streams"])
+        all_cb.extend([e["chanbits"]] * e["width"])
+        if banks is not None:
+            all_banks.extend(banks[e["ch0"] + i] for i in range(e["width"]))
+    (res_l, orders_l, modes_l, rice_l, coefs0_l, adapted_l) = (
+        _search_channels(all_streams, all_cb, config,
+                         banks=all_banks if banks is not None else None))
+    ci0 = 0
+    for e in elems:
+        w = e["width"]
+        sl = slice(ci0, ci0 + w)
+        ci0 += w
+        e["res_win"] = res_l[sl]
+        e["orders_win"] = orders_l[sl]
+        e["modes_win"] = modes_l[sl]
+        e["rice_bits"] = rice_l[sl]
+        e["coefs0_win"] = coefs0_l[sl]
+        e["adapted"] = adapted_l[sl]
+        is_cpe, width = e["is_cpe"], e["width"]
+        hdr_bits = (23 + (16 if is_cpe else 0) + width * 16
+                    + 16 * sum(e["orders_win"]))
+        shift_bits = width * S * 8 * bs
+        comp_bits = hdr_bits + shift_bits + sum(e["rice_bits"])
+        esc_bits = 23 + width * S * depth
+        use_escape = comp_bits >= esc_bits
+        e["use_escape"] = use_escape
+        e["elem_bits"] = jnp.where(use_escape, esc_bits, comp_bits)
 
     new_banks = None
     if banks is not None:
@@ -334,8 +377,31 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         start = start + e["elem_bits"]
     total_c = start
 
-    # ---- pass 2: emission ----
+    # ---- pass 2a: ONE stacked Rice emission over every channel ----
+    # (absolute start offsets are closed-form in the search results)
+    rice_feed, rice_starts, rice_cb = [], [], []
+    for e in elems:
+        hdr_len = (23 + (16 if e["is_cpe"] else 0) + e["width"] * 16
+                   + 16 * sum(e["orders_win"]))
+        pos = e["start"] + hdr_len + e["width"] * S * 8 * bs
+        for ci in range(e["width"]):
+            rice_feed.append(e["res_win"][ci])
+            rice_starts.append(pos)
+            rice_cb.append(e["chanbits"])
+            pos = pos + e["rice_bits"][ci]
+    if len(set(rice_cb)) == 1:
+        cb_arg = rice_cb[0]
+    else:
+        cb_arg = jnp.concatenate(
+            [jnp.full((B,), cb, dtype=I32) for cb in rice_cb], axis=0)
+    with jax.named_scope("alacjax.rice_words"):
+        cw_all, ck_all, _ = rice.rice_encode_words(
+            jnp.concatenate(rice_feed, axis=0), cb_arg, mb0, pb, kb, wb,
+            jnp.concatenate(rice_starts, axis=0), bit_size_cap=max(rice_cb))
+
+    # ---- pass 2b: emission ----
     all_vals, all_keys = [], []
+    rci = 0
     for e in elems:
         width, is_cpe = e["width"], e["is_cpe"]
         # compressed stream: header tokens
@@ -363,17 +429,11 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             bw, bk, pos = _emit_block(sh.astype(U32), 8 * bs, pos)
             seg_v.append(bw); seg_k.append(bk)
 
-        # Rice streams, all channels of this element in one scan
-        starts = [pos]
-        for ci in range(1, width):
-            starts.append(starts[-1] + e["rice_bits"][ci - 1])
-        with jax.named_scope("alacjax.rice_words"):
-            cw, ck, _ = rice.rice_encode_words(
-                jnp.concatenate(e["res_win"], axis=0), e["chanbits"],
-                mb0, pb, kb, wb, jnp.concatenate(starts, axis=0))
-        for ci in range(width):
-            seg_v.append(cw[ci * B:(ci + 1) * B])
-            seg_k.append(ck[ci * B:(ci + 1) * B])
+        # Rice chunk streams for this element (from the stacked emission)
+        for _ in range(width):
+            seg_v.append(cw_all[rci * B:(rci + 1) * B])
+            seg_k.append(ck_all[rci * B:(rci + 1) * B])
+            rci += 1
         vals_c = jnp.concatenate(seg_v, axis=1)
         keys_c = jnp.concatenate(seg_k, axis=1)
 

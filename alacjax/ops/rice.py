@@ -219,9 +219,14 @@ def _append_bits(acc, fill, wcount, v, L):
     return acc2, fill2, wcount2, out_word, ge
 
 
-def rice_encode_words(res, bit_size: int, mb0: int, pb, kb: int, wb: int,
-                      start_bits):
+def rice_encode_words(res, bit_size, mb0: int, pb, kb: int, wb: int,
+                      start_bits, bit_size_cap: int | None = None):
     """Residuals (B, S) -> phase-aligned packed word chunks.
+
+    ``bit_size`` may be a per-lane (B,) array (the encoder stacks every
+    channel of every element into one emission scan; SCE and CPE
+    channels differ by one bit) — pass ``bit_size_cap`` = static maximum
+    to size the per-step emission slots.
 
     Instead of emitting (value, length) tokens for a later global scatter,
     the scan carries a word accumulator seeded with the stream's absolute
@@ -244,7 +249,8 @@ def rice_encode_words(res, bit_size: int, mb0: int, pb, kb: int, wb: int,
 
     # at most floor((31 + run<=25 + prefix 9 + bit_size)/32) words can
     # complete per step; +1 slot headroom for the virtual-step flush
-    n_slots = (31 + 25 + MAX_PREFIX_32 + bit_size) // 32
+    cap = bit_size if isinstance(bit_size, int) else int(bit_size_cap)
+    n_slots = (31 + 25 + MAX_PREFIX_32 + cap) // 32
 
     def step(state, inp):
         x, t = inp

@@ -31,12 +31,15 @@ def measure_native_baseline(pcm: np.ndarray, config) -> tuple[float, str]:
         enc = native.NativeEncoder(config)
         dec = native.NativeDecoder(config)
         enc.encode_packet(pcm[0])  # warm
-        t0 = time.time()
-        pkts = [enc.encode_packet(pcm[i]) for i in range(nf)]
-        for p in pkts:
-            dec.decode_packet(p)
-        dt = time.time() - t0
-        return nf / dt, "measured: this repo's native C++ single-core codec"
+        best = None
+        for _ in range(3):  # best-of-3: shield the denominator from
+            t0 = time.time()  # host scheduling noise
+            pkts = [enc.encode_packet(pcm[i]) for i in range(nf)]
+            for p in pkts:
+                dec.decode_packet(p)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return nf / best, "measured: this repo's native C++ single-core codec"
     except Exception as e:  # no compiler / build failure
         return BASELINE_FRAMES_PER_SEC_EST, f"estimate (native unavailable: {e})"
 
