@@ -666,6 +666,10 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
         for ci in range(width):
             mode, den, pbf, order, coefs = params[ci]
             pb_lane = (config.pb * pbf) // 4
+            # escape lanes carry garbage header fields (their decode is
+            # masked out); normalize the order so they can't force the
+            # fused scan off its order<=8 fast branch
+            order = jnp.where(esc, 0, order)
             with jax.named_scope("alacjax.fused_decode"):
                 samples, bitpos_n, rerr = fused_decode.decode_channel(
                     words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,

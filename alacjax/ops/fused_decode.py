@@ -50,12 +50,15 @@ _W = kALACMaxCoefs + 1  # predictor lags
 _N_RICE = 7             # rice-state slots in the carry
 
 
-def _fetch_window4(blk, rel):
-    """Select 4 consecutive cache words starting at ``rel`` (0.._MAX_REL).
+def _fetch_window4(blk, rel, max_rel=_MAX_REL):
+    """Select 4 consecutive cache words starting at ``rel`` (0..max_rel).
 
-    One select chain serves every bit read of a substep."""
+    One select chain serves every bit read of a substep.  ``max_rel`` is
+    the substep-specific reach bound: after a refill the cursor's word
+    sits at rel < 8, and substep g can have advanced at most
+    g * max_adv more bits, so early substeps need much shorter chains."""
     w = [blk[0], blk[1], blk[2], blk[3]]
-    for j in range(1, _MAX_REL + 1):
+    for j in range(1, max_rel + 1):
         hit = rel == j
         for i in range(4):
             w[i] = jnp.where(hit, blk[j + i], w[i])
@@ -124,19 +127,23 @@ def decode_channel(words, start_bits, num_samples: int, chanbits: int,
     is0 = na == 0
     is31 = na == 31
 
-    def substep(st, pred_st, blk, blk_base):
+    def substep(st, pred_st, blk, blk_base, g, nk):
         bitpos, mb, zmode, run_rem, c, err = st
         lags = pred_st[:_W]
         coefs = pred_st[_W:_W + kALACMaxCoefs]
         s1_acc, acc31 = pred_st[-2], pred_st[-1]
+        na_k = jnp.minimum(na_eff, nk)
 
         active = c < S
         in_run = run_rem > 0
         decode_now = active & ~in_run
 
         # ---- rice codeword decode (masked out for run/idle lanes) ----
+        # substep g's cursor sits < 8 words past the refill base plus at
+        # most g*max_adv bits: early substeps get short select chains
         off0 = bitpos - blk_base * 32
-        ws = _fetch_window4(blk, (off0 >> 5).astype(I32))
+        max_rel = min(_MAX_REL, 7 + (g * max_adv + 31) // 32)
+        ws = _fetch_window4(blk, (off0 >> 5).astype(I32), max_rel)
         woff = (off0 & 31).astype(I32)
 
         m0 = mb >> QBSHIFT
@@ -213,14 +220,14 @@ def decode_channel(words, start_bits, num_samples: int, chanbits: int,
         x_t = jnp.where(mode_nz, sign_extend(s1_acc2, chanbits), res)
 
         top = zero
-        for i in range(kALACMaxCoefs + 1):
-            top = jnp.where(na_eff == i, lags[i], top)
-        in_warm = c <= na_eff
+        for i in range(nk + 1):
+            top = jnp.where(na_k == i, lags[i], top)
+        in_warm = c <= na_k
 
         sum1 = denhalf
-        for kk in range(kALACMaxCoefs):
+        for kk in range(nk):
             term = coefs[kk] * (lags[kk] - top)
-            sum1 = sum1 + jnp.where(kk < na_eff, term, 0)
+            sum1 = sum1 + jnp.where(kk < na_k, term, 0)
         pred_adj = jnp.right_shift(sum1, den)
         out_gen = sign_extend(x_t + top + pred_adj, chanbits)
         out_warm = sign_extend(x_t + lags[0], chanbits)
@@ -230,9 +237,9 @@ def decode_channel(words, start_bits, num_samples: int, chanbits: int,
         sg = sign_of_int(x_t)                      # residual drives adapt
         del0 = x_t
         new_coefs = list(coefs)
-        for kk in range(kALACMaxCoefs - 1, -1, -1):
+        for kk in range(nk - 1, -1, -1):
             going = jnp.where(sg > 0, del0 > 0, del0 < 0)
-            act_k = adapt & (sg != 0) & going & (kk < na_eff)
+            act_k = adapt & (sg != 0) & going & (kk < na_k)
             dd = top - lags[kk]
             sgn = sign_of_int(dd)
             upd = jnp.where(sg > 0, -sgn, sgn)
@@ -241,7 +248,7 @@ def decode_channel(words, start_bits, num_samples: int, chanbits: int,
             mag = sgn * dd
             term = jnp.where(sg > 0, jnp.right_shift(mag, den),
                              jnp.right_shift(-mag, den))
-            del0 = del0 - jnp.where(act_k, (na_eff - kk) * term, 0)
+            del0 = del0 - jnp.where(act_k, (na_k - kk) * term, 0)
 
         # special-mode overlays (mode 0: pass-through; mode 31: cumsum)
         acc31_2 = jnp.where(active, acc31 + x_t, acc31)
@@ -257,28 +264,30 @@ def decode_channel(words, start_bits, num_samples: int, chanbits: int,
         pred2 = new_lags + tuple(new_coefs) + (s1_acc2, acc31_2)
         return st2, pred2, out
 
-    def step(carry, _):
-        st = carry[:_N_RICE - 1]
-        blk_base = carry[_N_RICE - 1]
-        blk = carry[_N_RICE: _N_RICE + _CACHE_WORDS]
-        pred_st = carry[_N_RICE + _CACHE_WORDS:]
-        outs = []
-        for _g in range(G):
-            st, pred_st, out = substep(st, pred_st, blk, blk_base)
-            outs.append(out)
-        # refill cache: keep the cursor's row in the low third
-        rel = (st[0] >> 5) - blk_base
-        kshift = jnp.clip(rel >> 3, 0, 2)
-        ext = blk + fetch_row((blk_base >> 3) + 3) + fetch_row(
-            (blk_base >> 3) + 4)
-        blk2 = []
-        for i in range(_CACHE_WORDS):
-            w = ext[i]
-            w = jnp.where(kshift == 1, ext[i + 8], w)
-            w = jnp.where(kshift == 2, ext[i + 16], w)
-            blk2.append(w)
-        return (st + (blk_base + 8 * kshift,) + tuple(blk2) + pred_st,
-                tuple(outs))
+    def make_step(nk):
+        def step(carry, _):
+            st = carry[:_N_RICE - 1]
+            blk_base = carry[_N_RICE - 1]
+            blk = carry[_N_RICE: _N_RICE + _CACHE_WORDS]
+            pred_st = carry[_N_RICE + _CACHE_WORDS:]
+            outs = []
+            for g in range(G):
+                st, pred_st, out = substep(st, pred_st, blk, blk_base, g, nk)
+                outs.append(out)
+            # refill cache: keep the cursor's row in the low third
+            rel = (st[0] >> 5) - blk_base
+            kshift = jnp.clip(rel >> 3, 0, 2)
+            ext = blk + fetch_row((blk_base >> 3) + 3) + fetch_row(
+                (blk_base >> 3) + 4)
+            blk2 = []
+            for i in range(_CACHE_WORDS):
+                w = ext[i]
+                w = jnp.where(kshift == 1, ext[i + 8], w)
+                w = jnp.where(kshift == 2, ext[i + 16], w)
+                blk2.append(w)
+            return (st + (blk_base + 8 * kshift,) + tuple(blk2) + pred_st,
+                    tuple(outs))
+        return step
 
     rice_st0 = (start_bits.astype(I32), jnp.full((B,), mb0, dtype=U32),
                 jnp.zeros((B,), dtype=U32), jnp.zeros((B,), dtype=U32),
@@ -287,12 +296,21 @@ def decode_channel(words, start_bits, num_samples: int, chanbits: int,
     coef_cols0 = tuple(jnp.asarray(coefs0, I32)[:, k]
                        for k in range(kALACMaxCoefs))
     pred_st0 = (zero,) * _W + coef_cols0 + (zero, zero)
-
     carry0 = rice_st0 + blk0 + pred_st0
-    final, outs = jax.lax.scan(step, carry0, None, length=n_steps)
-    # outs: G-tuple of (n_steps, B) -> (B, n_steps*G) in sample order
-    out_tg = jnp.stack(outs, axis=1).reshape(n_steps * G, B)
-    samples = out_tg.T[:, :S]
 
-    end_bits, err = final[0], final[5]
+    def run(nk):
+        def go():
+            final, outs = jax.lax.scan(make_step(nk), carry0, None,
+                                       length=n_steps)
+            # outs: G-tuple of (n_steps, B) -> (B, n_steps*G) sample order
+            out_tg = jnp.stack(outs, axis=1).reshape(n_steps * G, B)
+            return out_tg.T[:, :S], final[0], final[5]
+        return go
+
+    # our encoder (and the reference's) emits orders 4/8 plus the 0/31
+    # special modes; specialize the scan for na <= 8 via a runtime branch
+    # (both variants compile once, typical batches run the 8-tap body)
+    small = jnp.all((na <= 8) | (na == 31))
+    samples, end_bits, err = jax.lax.cond(
+        small, run(8), run(kALACMaxCoefs))
     return samples, end_bits, err
