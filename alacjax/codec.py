@@ -663,6 +663,7 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
         bitpos = bitpos + jnp.where(esc, 0, shift_bits_total)
 
         recon = []
+        all_esc = jnp.all(esc)
         for ci in range(width):
             mode, den, pbf, order, coefs = params[ci]
             pb_lane = (config.pb * pbf) // 4
@@ -671,9 +672,15 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
             # fused scan off its order<=8 fast branch
             order = jnp.where(esc, 0, order)
             with jax.named_scope("alacjax.fused_decode"):
-                samples, bitpos_n, rerr = fused_decode.decode_channel(
-                    words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
-                    coefs, mode, order, den)
+                # when the whole batch escaped (noise content), the Rice
+                # streams don't exist — skip the scan at runtime
+                samples, bitpos_n, rerr = jax.lax.cond(
+                    all_esc,
+                    lambda: (jnp.zeros((B, S), I32), bitpos,
+                             jnp.zeros((B,), bool)),
+                    lambda: fused_decode.decode_channel(
+                        words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
+                        coefs, mode, order, den))
             bitpos = jnp.where(esc, bitpos, bitpos_n)
             err = err | (~esc & rerr)
             recon.append(samples)

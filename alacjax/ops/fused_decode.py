@@ -97,7 +97,14 @@ def decode_channel(words, start_bits, num_samples: int, chanbits: int,
     S = num_samples
 
     max_adv = MAX_PREFIX_32 + chanbits + MAX_PREFIX_16 + 16
-    G = max(1, min(8, 416 // max_adv))
+    # ALACJAX_DECODE_G caps the substeps per scan step: XLA:CPU compile
+    # time is superlinear in the step-body size (~200 s at G=8 vs
+    # seconds at G=2), so the CPU test tier and the multichip dryrun cap
+    # it; results are bit-identical at any G (the cache just refills
+    # more often), and TPU keeps the G=8 throughput sweet spot.
+    import os
+    g_cap = int(os.environ.get("ALACJAX_DECODE_G", "8"))
+    G = max(1, min(g_cap, 416 // max_adv))
     n_steps = -(-S // G)
 
     W8 = (W + 7) // 8

@@ -32,7 +32,12 @@ from ..types import kALACMaxCoefs
 from .jaxutils import I32, sign_extend, sign_of_int
 
 _W = kALACMaxCoefs + 1  # lags: in[j-1] .. in[j-17]
-_UNROLL = 4
+
+# Scan unroll factor: 4 is the measured sweet spot on TPU; the CPU test
+# tier sets ALACJAX_SCAN_UNROLL=1 because XLA CPU compile time scales
+# with the unrolled body size (results are bit-identical either way).
+import os as _os
+_UNROLL = int(_os.environ.get("ALACJAX_SCAN_UNROLL", "4"))
 
 
 def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,

@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# XLA CPU compile time is superlinear in scan-body size; the test tier
+# doesn't need the TPU throughput sweet spots (results are bit-identical
+# at any unroll/G), and shrinking them cuts device-test compiles from
+# minutes to seconds per program.
+os.environ.setdefault("ALACJAX_SCAN_UNROLL", "1")
+os.environ.setdefault("ALACJAX_DECODE_G", "2")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
