@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=("oracle", "jax"), default=None,
                    help="packet codec backend (default: jax if usable, "
                         "else oracle)")
+    p.add_argument("--search", choices=("standard", "exhaustive"),
+                   default="standard",
+                   help="encoder parameter search: standard (dilated "
+                        "mixres trial) or exhaustive (full-rate trials "
+                        "over every mixres; best rate, host codec)")
     p.add_argument("--resume", action="store_true",
                    help="checkpointed encode: journal progress next to the "
                         "output and resume after interruption "
@@ -85,6 +90,7 @@ def main(argv=None) -> int:
                 fast_mode=args.fast,
                 independent_frames=args.independent_frames,
                 backend=backend,
+                search=args.search,
             )
         else:
             convert_file(args.input, args.output, backend=backend)

@@ -65,19 +65,33 @@ def get_backend(name: str):
 
 def encode_wav_to_caf(wav: WavFile, frame_length: int = 4096,
                       fast_mode: bool = False, backend: str = "oracle",
-                      independent_frames: bool = False) -> CafFile:
+                      independent_frames: bool = False,
+                      search: str = "standard") -> CafFile:
     config = AlacConfig(
         frame_length=frame_length, bit_depth=wav.bit_depth,
         num_channels=wav.num_channels, sample_rate=wav.sample_rate,
         fast_mode=fast_mode,
     )
     pcm = unpack_pcm(wav.data, wav.bit_depth, wav.num_channels)
-    encode_stream, _ = get_backend(backend)
-    if backend == "oracle" and independent_frames:
+    if search == "exhaustive":
+        # maximal-rate host path (full-rate trials over every mixres);
+        # native C++ if built, scalar oracle otherwise — byte-identical
+        try:
+            from .native import NativeEncoder
+            enc = NativeEncoder(config, independent_frames=independent_frames,
+                                search="exhaustive")
+        except Exception:
+            enc = ALACEncoder(config, independent_frames=independent_frames,
+                              search="exhaustive")
+        packets = [enc.encode_packet(pcm[:, o:o + frame_length])
+                   for o in range(0, pcm.shape[1], frame_length)]
+    elif backend == "oracle" and independent_frames:
+        encode_stream, _ = get_backend(backend)
         enc = ALACEncoder(config, independent_frames=True)
         packets = [enc.encode_packet(pcm[:, o:o + frame_length])
                    for o in range(0, pcm.shape[1], frame_length)]
     else:
+        encode_stream, _ = get_backend(backend)
         packets = encode_stream(config, pcm)
 
     # stats for the cookie (maxFrameBytes / avgBitRate like the reference)

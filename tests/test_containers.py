@@ -136,3 +136,25 @@ def test_cli_bad_direction(tmp_path):
     from alacjax.cli import main
     (tmp_path / "x.mp3").write_bytes(b"junk")
     assert main([str(tmp_path / "x.mp3"), str(tmp_path / "y.caf")]) != 0
+
+
+def test_cli_exhaustive_search_roundtrip(rng, tmp_path):
+    """--search exhaustive (full-rate mixres trials) must round-trip and
+    produce a stream no larger than the standard search's."""
+    from alacjax.cli import main
+    x = gen_pcm(rng, "sine", 2, 900, 16)
+    wav_in = tmp_path / "e.wav"
+    write_wav(WavFile(44100, 16, 2, pack_pcm(x, 16)), str(wav_in))
+    assert main([str(wav_in), str(tmp_path / "std.caf"), "--frame-size",
+                 "256", "--backend", "oracle"]) == 0
+    assert main([str(wav_in), str(tmp_path / "exh.caf"), "--frame-size",
+                 "256", "--search", "exhaustive"]) == 0
+    assert main([str(tmp_path / "exh.caf"), str(tmp_path / "e.wav.out"),
+                 "--backend", "oracle"]) != 0  # bad extension fails closed
+    assert main([str(tmp_path / "exh.caf"), str(tmp_path / "eo.wav"),
+                 "--backend", "oracle"]) == 0
+    back = read_wav(str(tmp_path / "eo.wav"))
+    np.testing.assert_array_equal(unpack_pcm(back.data, 16, 2), x)
+    import os
+    assert os.path.getsize(tmp_path / "exh.caf") <= os.path.getsize(
+        tmp_path / "std.caf")
