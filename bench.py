@@ -32,13 +32,16 @@ def measure_native_baseline(pcm: np.ndarray, config) -> tuple[float, str]:
         dec = native.NativeDecoder(config)
         enc.encode_packet(pcm[0])  # warm
         best = None
-        for _ in range(3):  # best-of-3: shield the denominator from
-            t0 = time.time()  # host scheduling noise
+        deadline = time.time() + 3.0  # best-of over a fixed window:
+        while True:  # shields the denominator from scheduling noise
+            t0 = time.time()
             pkts = [enc.encode_packet(pcm[i]) for i in range(nf)]
             for p in pkts:
                 dec.decode_packet(p)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            if time.time() >= deadline:
+                break
         return nf / best, "measured: this repo's native C++ single-core codec"
     except Exception as e:  # no compiler / build failure
         return BASELINE_FRAMES_PER_SEC_EST, f"estimate (native unavailable: {e})"
