@@ -82,8 +82,8 @@ def main() -> int:
     from alacjax.types import AlacConfig
 
     S = 4096
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 
     config = AlacConfig(bit_depth=16, num_channels=2, frame_length=S,
                         sample_rate=44100)
