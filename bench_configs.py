@@ -53,7 +53,7 @@ def main() -> int:
     from alacjax.types import AlacConfig
 
     S = 4096
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     for name, kw, kind in CONFIGS:
