@@ -36,8 +36,14 @@ _W = kALACMaxCoefs + 1  # lags: in[j-1] .. in[j-17]
 # Scan unroll factor: 4 is the measured sweet spot on TPU; the CPU test
 # tier sets ALACJAX_SCAN_UNROLL=1 because XLA CPU compile time scales
 # with the unrolled body size (results are bit-identical either way).
+# Read lazily at trace time so late os.environ updates (e.g. the
+# multichip dryrun's setdefault) take effect even if this module was
+# imported earlier in the process.
 import os as _os
-_UNROLL = int(_os.environ.get("ALACJAX_SCAN_UNROLL", "4"))
+
+
+def _unroll() -> int:
+    return int(_os.environ.get("ALACJAX_SCAN_UNROLL", "4"))
 
 
 def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
@@ -160,7 +166,7 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
         if dual_cost:
             carry0 = carry0 + (zero,) + rice_mod._init_state(B, mb0_c) + (
                 jnp.zeros((B,), dtype=I32),)
-    carry_out, out_sb = jax.lax.scan(step, carry0, x_sb, unroll=_UNROLL)
+    carry_out, out_sb = jax.lax.scan(step, carry0, x_sb, unroll=_unroll())
     coefs_out = jnp.stack(carry_out[_W:_W + kALACMaxCoefs], axis=1)
     if cost_params is None:
         return out_sb, coefs_out

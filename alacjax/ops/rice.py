@@ -34,7 +34,7 @@ from .jaxutils import I32, U32, clz32, iota1, lg3a
 _U32_ONE = np.uint32(1)
 
 import os as _os
-_UNROLL = int(_os.environ.get("ALACJAX_SCAN_UNROLL", "4"))  # see ops/predict.py
+from .predict import _unroll  # lazy env read; see ops/predict.py
 
 
 def _divmod_capped(n, m):
@@ -164,7 +164,7 @@ def rice_encode_tokens(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
             x, t, state, S=S, bit_size=bit_size, pb=pb, kb=kb, wb=wb)
         return state, vals + lens
 
-    _, ys = jax.lax.scan(step, _init_state(B, mb0), (xs, ts), unroll=_UNROLL)
+    _, ys = jax.lax.scan(step, _init_state(B, mb0), (xs, ts), unroll=_unroll())
     # 6 x (S+1, B) -> (B, 3*(S+1)); step-major slot order == stream order
     vals = jnp.transpose(jnp.stack(ys[:3], axis=-1), (1, 0, 2)).reshape(B, -1)
     lens = jnp.transpose(jnp.stack(ys[3:], axis=-1), (1, 0, 2)).reshape(B, -1)
@@ -187,7 +187,7 @@ def rice_cost(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
 
     (_, total), _ = jax.lax.scan(
         step, (_init_state(B, mb0), jnp.zeros((B,), dtype=I32)), (xs, ts),
-        unroll=_UNROLL)
+        unroll=_unroll())
     return total
 
 
@@ -285,7 +285,7 @@ def rice_encode_words(res, bit_size, mb0: int, pb, kb: int, wb: int,
     state0 = (_init_state(B, mb0), jnp.zeros((B,), U32),
               start_bits & 31, jnp.zeros((B,), I32))
     (rice_state, acc, fill, wcount), (ws, ks) = jax.lax.scan(
-        step, state0, (xs, ts), unroll=_UNROLL)
+        step, state0, (xs, ts), unroll=_unroll())
 
     # (S+1, B, n_slots) -> (B, n_slots*(S+1)) in stream order
     words = jnp.transpose(jnp.stack(ws, axis=-1), (1, 0, 2)).reshape(B, -1)

@@ -28,12 +28,14 @@ def measure_native_baseline(pcm: np.ndarray, config) -> tuple[float, str]:
         if not native.available():
             raise RuntimeError(native.build_error() or "unavailable")
         nf = min(32, pcm.shape[0])
-        enc = native.NativeEncoder(config)
         dec = native.NativeDecoder(config)
-        enc.encode_packet(pcm[0])  # warm
+        native.NativeEncoder(config).encode_packet(pcm[0])  # warm
         best = None
         deadline = time.time() + 3.0  # best-of over a fixed window:
         while True:  # shields the denominator from scheduling noise
+            # fresh encoder per pass: identical work every repetition
+            # (persistent coef banks would otherwise warm across passes)
+            enc = native.NativeEncoder(config)
             t0 = time.time()
             pkts = [enc.encode_packet(pcm[i]) for i in range(nf)]
             for p in pkts:

@@ -62,7 +62,7 @@ def test_oracle_decodes_device_streams(rng):
         np.testing.assert_array_equal(y, x[i])
 
 
-def test_device_decode_falls_back_on_two_stage_mode(rng):
+def test_device_decode_two_stage_mode_on_device(rng):
     """Streams using predictor mode!=0 decode correctly on device (the
     cumsum pre-stage), matching the oracle."""
     import jax.numpy as jnp
