@@ -17,8 +17,9 @@ Encode dataflow (one jit program per (B, S, config)):
   closed-form absolute offsets for every segment -> headers as tiny
   token images, shift/escape blocks as phase-0 field packs funnel-
   shifted into place, Rice scans emitting phase-aligned word chunks ->
-  per-element escape select -> one sort+dedup merge (combine_chunks) ->
-  (B, W) word image -> host bytes.  No scatter at any depth or layout.
+  per-element escape select -> sort-free radix-shuffle compaction +
+  boundary-tail OR (merge_sorted_chunks) -> (B, W) word image -> host
+  bytes.  No scatter, sort, or gather at any depth or layout.
 
 Decode dataflow:
   host packet bytes -> (B, W) word image -> device header field reads ->
@@ -51,6 +52,13 @@ from .types import (
 )
 
 DEFAULT_CHUNK = 256  # frames per jit invocation (padded; 2 compiles/config)
+
+
+def _merge_radix() -> int:
+    """Radix bits for merge_sorted_chunks' shuffle (lazy env read; see
+    ops/predict.py on why trace-time)."""
+    import os
+    return int(os.environ.get("ALACJAX_MERGE_RADIX", "2"))
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +241,11 @@ def _emit_header(vals_list, lens_list, start_bits, cap_bits: int):
     """Assemble small header token streams at a per-lane absolute offset.
 
     A leading zero token of length (start & 31) phase-aligns the image;
-    keys are (start >> 5) + iota.  Returns (words, keys, end_bits)."""
+    keys are (start >> 5) + iota.  Only COMPLETE words [start>>5, end>>5)
+    keep real keys (the merge invariant: gapless unique coverage); the
+    final partial word is returned separately as a tail to OR.
+
+    Returns (words, keys, end_bits, tail_val, tail_key)."""
     B = start_bits.shape[0]
     phase = (start_bits & 31).astype(I32)
     vals = jnp.concatenate([jnp.zeros((B, 1), U32)] + vals_list, axis=1)
@@ -241,23 +253,44 @@ def _emit_header(vals_list, lens_list, start_bits, cap_bits: int):
     cap_words = (31 + cap_bits + 31) // 32
     words, img_bits = bitpack.assemble(vals, lens, cap_words)
     keys = _segment_keys(start_bits >> 5, cap_words)
-    nwords = (img_bits + 31) // 32
-    keys = jnp.where(iota1(cap_words, I32)[None, :] < nwords[:, None], keys,
+    n_complete = (img_bits >> 5)[:, None]
+    keys = jnp.where(iota1(cap_words, I32)[None, :] < n_complete, keys,
                      jnp.uint32(0xFFFFFFFF))
-    return words, keys, start_bits + img_bits - phase
+    # partial tail word at image position n_complete (gather-free select;
+    # cap_words is small and static)
+    has_tail = (img_bits & 31) > 0
+    tail_val = jnp.zeros((B,), U32)
+    for i in range(cap_words):
+        tail_val = jnp.where(n_complete[:, 0] == i, words[:, i], tail_val)
+    tail_val = jnp.where(has_tail, tail_val, 0)
+    tail_key = ((start_bits >> 5) + (img_bits >> 5)).astype(U32)
+    return words, keys, start_bits + img_bits - phase, tail_val, tail_key
 
 
 def _emit_block(fields, d: int, start_bits):
     """Pack fixed-width fields and place them at per-lane bit offsets:
-    phase-0 pack (no scatter) + per-lane funnel shift + word keys."""
+    phase-0 pack (no scatter) + per-lane funnel shift + word keys.
+    Same complete-words-only key masking as _emit_header; the block bit
+    length is STATIC, so the tail position takes one of two values.
+
+    Returns (words, keys, end_bits, tail_val, tail_key)."""
     img = bitpack.pack_fields(fields, d)
     placed = bitpack.place_segment(img, (start_bits & 31).astype(U32))
     keys = _segment_keys(start_bits >> 5, placed.shape[1])
     nbits = fields.shape[1] * d
-    nwords = ((start_bits & 31) + nbits + 31) // 32
-    keys = jnp.where(iota1(placed.shape[1], I32)[None, :] < nwords[:, None],
+    phase = (start_bits & 31).astype(I32)
+    n_complete = (phase + nbits) >> 5
+    keys = jnp.where(iota1(placed.shape[1], I32)[None, :] < n_complete[:, None],
                      keys, jnp.uint32(0xFFFFFFFF))
-    return placed, keys, start_bits + nbits
+    end = start_bits + nbits
+    has_tail = (end & 31) > 0
+    lo, hi = nbits >> 5, (31 + nbits) >> 5
+    tail_val = jnp.where(n_complete == lo, placed[:, lo],
+                         placed[:, hi] if hi < placed.shape[1]
+                         else jnp.uint32(0))
+    tail_val = jnp.where(has_tail, tail_val, 0)
+    tail_key = ((start_bits >> 5) + n_complete).astype(U32)
+    return placed, keys, end, tail_val, tail_key
 
 
 def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
@@ -270,9 +303,10 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
     search; per-element escape decisions depend only on those sizes), so
     headers assemble as tiny token images, shift/escape blocks pack as
     phase-0 strided field blocks funnel-shifted into place, Rice scans
-    emit phase-aligned word chunks directly, and one sort+dedup merges
-    all segments (ops/bitpack.combine_chunks).  The reference writes all
-    of this bit-serially (codec/ALACEncoder.cpp :: EncodeStereo).
+    emit phase-aligned word chunks directly, and a sort-free radix
+    compaction merges all segments (ops/bitpack.merge_sorted_chunks).
+    The reference writes all of this bit-serially
+    (codec/ALACEncoder.cpp :: EncodeStereo).
 
     banks: optional {channel: {order: (B, 16)}} persistent coefficient
     banks; returns (words, total_bits, new_banks) with the oracle's
@@ -395,12 +429,18 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         cb_arg = jnp.concatenate(
             [jnp.full((B,), cb, dtype=I32) for cb in rice_cb], axis=0)
     with jax.named_scope("alacjax.rice_words"):
-        cw_all, ck_all, _ = rice.rice_encode_words(
+        cw_all, ck_all, _, ctv_all, ctk_all = rice.rice_encode_words(
             jnp.concatenate(rice_feed, axis=0), cb_arg, mb0, pb, kb, wb,
-            jnp.concatenate(rice_starts, axis=0), bit_size_cap=max(rice_cb))
+            jnp.concatenate(rice_starts, axis=0), bit_size_cap=max(rice_cb),
+            emit_flush=False)
 
     # ---- pass 2b: emission ----
+    # Big chunk arrays carry only COMPLETE words (strictly increasing
+    # keys, gapless coverage — the merge_sorted_chunks invariant); every
+    # segment's final partial word is collected as a per-lane tail and
+    # OR'd by the merger.
     all_vals, all_keys = [], []
+    tail_v, tail_k = [], []
     rci = 0
     for e in elems:
         width, is_cpe = e["width"], e["is_cpe"]
@@ -419,20 +459,24 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             cv, cl = _coef_tokens(e["coefs0_win"][ci], e["orders_win"][ci])
             hv.append(cv); hl.append(cl)
         cap = 23 + 16 + width * (16 + 16 * kALACMaxCoefs)
-        hw, hk, pos = _emit_header(hv, hl, e["start"], cap)
+        hw, hk, pos, htv, htk = _emit_header(hv, hl, e["start"], cap)
         seg_v, seg_k = [hw], [hk]
+        tv_c, tk_c = [htv], [htk]
 
         # shift-byte block (interleaved per sample/channel)
         if bs:
             sh = (_interleave2(e["los"][0], e["los"][1]) if is_cpe
                   else e["los"][0])
-            bw, bk, pos = _emit_block(sh.astype(U32), 8 * bs, pos)
+            bw, bk, pos, btv, btk = _emit_block(sh.astype(U32), 8 * bs, pos)
             seg_v.append(bw); seg_k.append(bk)
+            tv_c.append(btv); tk_c.append(btk)
 
         # Rice chunk streams for this element (from the stacked emission)
         for _ in range(width):
             seg_v.append(cw_all[rci * B:(rci + 1) * B])
             seg_k.append(ck_all[rci * B:(rci + 1) * B])
+            tv_c.append(ctv_all[rci * B:(rci + 1) * B])
+            tk_c.append(ctk_all[rci * B:(rci + 1) * B])
             rci += 1
         vals_c = jnp.concatenate(seg_v, axis=1)
         keys_c = jnp.concatenate(seg_k, axis=1)
@@ -441,12 +485,13 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         ehv = [jnp.full((B, 1), _header23(e["tag"], e["instance"], 0, True),
                         dtype=U32)]
         ehl = [jnp.full((B, 1), 23, I32)]
-        ew, ek, epos = _emit_header(ehv, ehl, e["start"], 23)
+        ew, ek, epos, etv, etk = _emit_header(ehv, ehl, e["start"], 23)
         raw = (_interleave2(e["chans"][0], e["chans"][1]) if is_cpe
                else e["chans"][0])
-        rw, rk, _ = _emit_block(raw.astype(U32), depth, epos)
+        rw, rk, _, rtv, rtk = _emit_block(raw.astype(U32), depth, epos)
         vals_e = jnp.concatenate([ew, rw], axis=1)
         keys_e = jnp.concatenate([ek, rk], axis=1)
+        tv_e, tk_e = [etv, rtv], [etk, rtk]
 
         # per-lane select; pad the (always smaller) escape stream
         pad = vals_c.shape[1] - vals_e.shape[1]
@@ -461,25 +506,33 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         ue = e["use_escape"][:, None]
         all_vals.append(jnp.where(ue, vals_e, vals_c))
         all_keys.append(jnp.where(ue, keys_e, keys_c))
+        # select tails per lane too (pad variant lists to equal length)
+        while len(tv_e) < len(tv_c):
+            tv_e.append(jnp.zeros((B,), U32))
+            tk_e.append(jnp.full((B,), 0xFFFFFFFF, U32))
+        ue1 = e["use_escape"]
+        for a_v, a_k, b_v, b_k in zip(tv_c, tk_c, tv_e, tk_e):
+            tail_v.append(jnp.where(ue1, b_v, a_v))
+            tail_k.append(jnp.where(ue1, b_k, a_k))
 
-    # ---- END tag (3 bits) at the known end position ----
+    # ---- END tag (3 bits) at the known end position: pure tails ----
     phase = (total_c & 31).astype(U32)
     end_hi = jnp.right_shift(jnp.uint32(7 << 29), phase)
     end_lo = jnp.where(phase > 29,
                        jnp.left_shift(jnp.uint32(7), (61 - phase) % 32),
                        jnp.uint32(0))
-    all_vals.append(jnp.stack([end_hi, end_lo], axis=1))
-    all_keys.append(jnp.stack(
-        [(total_c >> 5).astype(U32),
-         jnp.where(phase > 29, ((total_c >> 5) + 1).astype(U32),
-                   jnp.uint32(0xFFFFFFFF))], axis=1))
+    tail_v.extend([end_hi, end_lo])
+    tail_k.extend([(total_c >> 5).astype(U32),
+                   jnp.where(phase > 29, ((total_c >> 5) + 1).astype(U32),
+                             jnp.uint32(0xFFFFFFFF))])
     total_bits = total_c + 3  # byte-align pad bits are zeros: no emission
 
     vals = jnp.concatenate(all_vals, axis=1)
     keys = jnp.concatenate(all_keys, axis=1)
-    with jax.named_scope("alacjax.combine_chunks"):
-        words = bitpack.combine_chunks(
-            vals, keys, num_words, max_dups=4 + 4 * len(config.elements))
+    with jax.named_scope("alacjax.merge_chunks"):
+        words = bitpack.merge_sorted_chunks(
+            vals, keys, jnp.stack(tail_v, axis=1), jnp.stack(tail_k, axis=1),
+            num_words, radix_bits=_merge_radix())
     return words, total_bits, new_banks
 
 

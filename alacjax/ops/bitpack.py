@@ -232,6 +232,94 @@ def combine_chunks(words, keys, num_words: int, max_dups: int = 8):
     return out
 
 
+def _pallas_merge_enabled() -> bool:
+    """Pallas compaction on real TPU backends; XLA shuffle on CPU (the
+    test tier) unless ALACJAX_PALLAS_MERGE forces either way."""
+    import os
+    env = os.environ.get("ALACJAX_PALLAS_MERGE")
+    if env is not None:
+        return env == "1"
+    import jax as _jax
+    return _jax.default_backend() not in ("cpu",)
+
+
+def merge_sorted_chunks(vals, keys, tail_vals, tail_keys, num_words: int,
+                        radix_bits: int = 2):
+    """Compact per-lane sorted sparse chunk streams into a dense word
+    image, then OR per-lane boundary ("tail") words on top — the sort-free
+    packet assembler.
+
+    vals/keys: (B, T) uint32.  INVARIANT (stronger than combine_chunks):
+    per lane, the non-INF keys are STRICTLY increasing and cover
+    [0, n_lane) gaplessly with no duplicates — i.e. the i-th non-empty
+    slot holds exactly word i.  The emitters guarantee this by
+    suppressing each segment's final partial-word flush: a segment with
+    bits [start, end) emits exactly the complete words [start>>5, end>>5)
+    (the next segment's phase-seeded accumulator re-emits the boundary
+    word), and the suppressed partial words arrive via tail_vals/
+    tail_keys (B, n_t) — duplicates allowed there, bit-disjoint, OR'd in
+    O(n_t) passes.
+
+    Compaction is an LSB-first radix shuffle: element j's displacement
+    d_j = j - (#non-empty before j) is non-decreasing with distinct
+    targets, so moving elements left by their displacement one radix
+    digit at a time is collision-free (if positions p_i..p_j collided at
+    digit r, floor(d_i/R^r) - floor(d_j/R^r) = t_j - t_i > 0 would
+    contradict d non-decreasing).  ~log_R(T) rounds of static shifted
+    selects — no sort, no scatter, no gather; replaces the measured
+    134 ms sort+dedup with ~30 ms at the headline shape (B=4096,
+    T=16431).
+
+    On TPU the compaction runs as a Pallas kernel (ops/pallas/merge.py:
+    row tiles live in VMEM for all radix rounds — one HBM read + one
+    write); elsewhere (CPU test tier) the same shuffle runs as XLA ops.
+    """
+    B, T = vals.shape
+    val = vals.astype(U32)
+    k = keys.astype(U32)
+
+    use_pallas = (_pallas_merge_enabled() and B % 8 == 0)
+    if use_pallas:
+        from .pallas.merge import merge_compact_pallas
+        out = merge_compact_pallas(val, k, num_words)
+    else:
+        nonempty = k != jnp.uint32(0xFFFFFFFF)
+        j = iota1(T, I32)[None, :]
+        c_ex = jnp.cumsum(nonempty.astype(I32), axis=1) - nonempty
+        rem = jnp.where(nonempty, j - c_ex, 0)
+        val = jnp.where(nonempty, val, 0)
+
+        R = 1 << radix_bits
+        shift = 0
+        while (1 << shift) < T:
+            p = 1 << shift
+            digit = (rem >> shift) & (R - 1)
+            nv = jnp.where(digit == 0, val, 0)
+            nr = jnp.where(digit == 0, rem, 0)
+            for kk in range(1, R):
+                d = kk * p
+                if d >= T:
+                    break
+                dk = jnp.pad(digit[:, d:], ((0, 0), (0, d)))
+                vk = jnp.pad(val[:, d:], ((0, 0), (0, d)))
+                rk = jnp.pad(rem[:, d:], ((0, 0), (0, d)))
+                hit = dk == kk
+                nv = nv | jnp.where(hit, vk, 0)
+                nr = nr + jnp.where(hit, rk - d, 0)
+            val, rem = nv, nr
+            shift += radix_bits
+
+        if T < num_words:
+            val = jnp.pad(val, ((0, 0), (0, num_words - T)))
+        out = val[:, :num_words]
+
+    jq = iota1(num_words, U32)[None, :]
+    for t in range(tail_vals.shape[1]):
+        out = out | jnp.where(tail_keys[:, t:t + 1] == jq,
+                              tail_vals[:, t:t + 1], 0)
+    return out
+
+
 def words_to_bytes(words: np.ndarray, total_bits: np.ndarray) -> list[bytes]:
     """Host-side: big-endian word images -> per-frame byte strings,
     truncated to ceil(total_bits/8)."""

@@ -1,0 +1,121 @@
+"""Pallas TPU kernel for the packet-merge compaction.
+
+The encoder's chunk streams satisfy the merge_sorted_chunks invariant
+(ops/bitpack.py): per lane, non-empty slots hold exactly word 0,1,2,...
+in slot order.  Compaction moves element j left by its displacement
+d_j = j - (#non-empty before j) — an LSB-first radix shuffle, provably
+collision-free for non-decreasing d with distinct targets.
+
+The pure-XLA formulation round-trips HBM ~15 times ((B, T) val+rem read
+and written per radix round: measured 80-103 ms at B=4096, T=16431).
+Here each row tile is loaded into VMEM ONCE, the exclusive prefix count
+and all radix rounds run at VMEM bandwidth, and only the compacted
+(B, W) image returns to HBM — one read + one write of the operands,
+~0.6 GB total at the headline shape.
+
+Reference: the whole function replaces bit-serial packet assembly
+(codec/ALACEncoder.cpp :: EncodeStereo BitBuffer writes); there is no
+scalar counterpart to the shuffle itself.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import numpy as np
+
+I32 = jnp.int32
+U32 = jnp.uint32
+_INF = np.uint32(0xFFFFFFFF)
+
+
+def _shift_left(x, p: int, fill):
+    """Columns move left by p: out[:, j] = x[:, j+p]; tail filled."""
+    R, T = x.shape
+    if p >= T:
+        return jnp.full_like(x, fill)
+    return jnp.concatenate(
+        [x[:, p:], jnp.full((R, p), fill, dtype=x.dtype)], axis=1)
+
+
+def _merge_kernel(vals_ref, keys_ref, out_ref, *, T: int, W: int):
+    keys = keys_ref[:]
+    nonempty = keys != _INF
+    ne = jnp.where(nonempty, jnp.int32(1), 0)
+
+    # inclusive prefix count along the slot axis (log-doubling in VMEM)
+    c = ne
+    p = 1
+    while p < T:
+        # c[:, j] += c[:, j-p]  (shift right by p)
+        R = c.shape[0]
+        shifted = jnp.concatenate(
+            [jnp.zeros((R, p), dtype=c.dtype), c[:, :-p]], axis=1)
+        c = c + shifted
+        p <<= 1
+    c_ex = c - ne
+
+    j = jax.lax.broadcasted_iota(I32, keys.shape, 1)
+    rem = jnp.where(nonempty, j - c_ex, 0)
+    val = jnp.where(nonempty, vals_ref[:], jnp.uint32(0))
+
+    # LSB-first radix-2 shuffle, entirely in VMEM
+    p = 1
+    while p < T:
+        pi = jnp.int32(p)
+        move = (rem & pi) != 0
+        stay_v = jnp.where(move, jnp.uint32(0), val)
+        stay_r = jnp.where(move, 0, rem)
+        arr_v = _shift_left(jnp.where(move, val, jnp.uint32(0)), p, 0)
+        # shift an i32 0/1 mask, not bool: Mosaic can't concatenate i1
+        arr_m = _shift_left(jnp.where(move, jnp.int32(1), 0), p, 0)
+        arr_r = _shift_left(jnp.where(move, rem, 0), p, 0)
+        val = stay_v | arr_v
+        rem = jnp.where(arr_m != 0, arr_r - pi, stay_r)
+        p <<= 1
+
+    out_ref[:] = val[:, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("num_words", "rows", "interpret"))
+def merge_compact_pallas(vals, keys, num_words: int, rows: int = 8,
+                         interpret: bool = False):
+    """Compact (B, T) sorted sparse chunk streams to (B, num_words).
+
+    Tails are NOT applied here (the caller ORs them; see
+    bitpack.merge_sorted_chunks).  B must be a multiple of ``rows``
+    (callers pad the batch); T and num_words are padded to lane width
+    internally.
+    """
+    B, T = vals.shape
+    Tp = -(-T // 128) * 128
+    Wp = -(-num_words // 128) * 128
+    if Tp < Wp:
+        Tp = Wp
+    if Tp > T:
+        vals = jnp.pad(vals, ((0, 0), (0, Tp - T)))
+        import numpy as _np
+        keys = jnp.pad(keys, ((0, 0), (0, Tp - T)),
+                       constant_values=_np.uint32(0xFFFFFFFF))
+    assert B % rows == 0, (B, rows)
+
+    out = pl.pallas_call(
+        functools.partial(_merge_kernel, T=Tp, W=Wp),
+        grid=(B // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, Tp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, Tp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, Wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Wp), jnp.uint32),
+        interpret=interpret,
+    )(vals, keys)
+    return out[:, :num_words]

@@ -223,7 +223,8 @@ def _append_bits(acc, fill, wcount, v, L):
 
 
 def rice_encode_words(res, bit_size, mb0: int, pb, kb: int, wb: int,
-                      start_bits, bit_size_cap: int | None = None):
+                      start_bits, bit_size_cap: int | None = None,
+                      emit_flush: bool = True):
     """Residuals (B, S) -> phase-aligned packed word chunks.
 
     ``bit_size`` may be a per-lane (B,) array (the encoder stacks every
@@ -235,12 +236,17 @@ def rice_encode_words(res, bit_size, mb0: int, pb, kb: int, wb: int,
     the scan carries a word accumulator seeded with the stream's absolute
     bit phase (start_bits & 31) and emits completed 32-bit words with
     their absolute word indices (start_bits >> 5 + count).  The caller
-    merges chunk streams with a sort + dedup (alacjax.ops.bitpack
-    .combine_chunks) — no scatter anywhere.
+    merges chunk streams sort-free (alacjax.ops.bitpack
+    .merge_sorted_chunks) — no scatter anywhere.
 
-    Returns (chunk_words (B, 4*(S+1)) u32, chunk_keys (B, 4*(S+1)) u32
+    emit_flush=False suppresses the final partial-word emission (the
+    merge invariant needs each stream to emit exactly its COMPLETE words
+    [start>>5, end>>5)); the partial word is returned separately as a
+    per-lane tail to be OR'd by the merger.
+
+    Returns (chunk_words (B, n_slots*(S+1)) u32, chunk_keys (same) u32
     with 0xFFFFFFFF marking empty slots, end_bits (B,) i32 = absolute end
-    position of the stream).
+    position of the stream, tail_val (B,) u32, tail_key (B,) u32).
     """
     B, S = res.shape
     start_bits = jnp.asarray(start_bits, I32)
@@ -271,14 +277,15 @@ def rice_encode_words(res, bit_size, mb0: int, pb, kb: int, wb: int,
                 slot_w[si] = jnp.where(hit, w, slot_w[si])
                 slot_k[si] = jnp.where(hit, key, slot_k[si])
             n_emitted = n_emitted + emit.astype(I32)
-        # final flush on the virtual step (only the run token can emit
-        # there, so a free slot always exists)
-        flush = (t == S) & (fill > 0)
-        fkey = (base_word + wcount).astype(U32)
-        for si in range(n_slots):
-            hit = flush & (n_emitted == si)
-            slot_w[si] = jnp.where(hit, acc, slot_w[si])
-            slot_k[si] = jnp.where(hit, fkey, slot_k[si])
+        if emit_flush:
+            # final flush on the virtual step (only the run token can
+            # emit there, so a free slot always exists)
+            flush = (t == S) & (fill > 0)
+            fkey = (base_word + wcount).astype(U32)
+            for si in range(n_slots):
+                hit = flush & (n_emitted == si)
+                slot_w[si] = jnp.where(hit, acc, slot_w[si])
+                slot_k[si] = jnp.where(hit, fkey, slot_k[si])
         return ((rice_state, acc, fill, wcount),
                 (tuple(slot_w), tuple(slot_k)))
 
@@ -292,7 +299,9 @@ def rice_encode_words(res, bit_size, mb0: int, pb, kb: int, wb: int,
     keys = jnp.transpose(jnp.stack(ks, axis=-1), (1, 0, 2)).reshape(B, -1)
     # total bits consumed: final absolute position
     end_bits = (base_word + wcount) * 32 + fill
-    return words, keys, end_bits
+    tail_val = jnp.where(fill > 0, acc, jnp.uint32(0))
+    tail_key = (base_word + wcount).astype(U32)
+    return words, keys, end_bits, tail_val, tail_key
 
 
 # ---------------------------------------------------------------------------

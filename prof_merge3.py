@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""A/B round 2: optimized radix-shuffle variants + packed single-operand
+sorts, same invariant as prof_merge2 (strictly increasing keys, gapless
+coverage, no dups)."""
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax, os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    from alacjax.ops.jaxutils import I32, U32, iota1
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    T = 16431
+    W = 6152
+
+    rng = np.random.default_rng(0)
+    emit = rng.random((B, T)) < 0.375
+    emit &= (np.cumsum(emit, axis=1) - 1) < W
+    keys = np.where(emit, np.cumsum(emit, axis=1) - 1, 0).astype(np.uint32)
+    keys = np.where(emit, keys, 0xFFFFFFFF).astype(np.uint32)
+    vals = np.where(emit, rng.integers(0, 2**32, (B, T)), 0).astype(np.uint32)
+
+    keys_d = jnp.asarray(keys)
+    vals_d = jnp.asarray(vals)
+
+    ref = np.zeros((B, W), np.uint32)
+    bi, ti = np.nonzero(emit)
+    ref[bi, keys[bi, ti]] = vals[bi, ti]
+
+    def timeit(name, fn, *args):
+        out = jax.jit(fn).lower(*args).compile()
+        r = np.asarray(out(*args))
+        ok = (r == ref).all()
+        t0 = time.time()
+        rs = [out(*args) for _ in range(iters)]
+        for x in rs:
+            x.block_until_ready()
+        dt = (time.time() - t0) / iters * 1000
+        print(f"{name:42s} {dt:8.2f} ms  correct={ok}", flush=True)
+        return dt
+
+    def radix_shuffle(v, k, radix_bits: int, rem_u16: bool):
+        nonempty = k != jnp.uint32(0xFFFFFFFF)
+        c_ex = jnp.cumsum(nonempty.astype(I32), axis=1) - nonempty
+        j = iota1(T, I32)[None, :]
+        rem = jnp.where(nonempty, j - c_ex, 0)
+        if rem_u16:
+            rem = rem.astype(jnp.uint16)
+        val = v
+        R = 1 << radix_bits
+        shift = 0
+        while (1 << shift) < T:
+            p = 1 << shift
+            remi = rem.astype(I32)
+            digit = (remi >> shift) & (R - 1)
+            nv = jnp.where(digit == 0, val, 0)
+            nr = jnp.where(digit == 0, remi, 0)
+            for kk in range(1, R):
+                d = kk * p
+                if d >= T:
+                    break
+                dk = jnp.pad(digit[:, d:], ((0, 0), (0, d)))
+                vk = jnp.pad(val[:, d:], ((0, 0), (0, d)))
+                rk = jnp.pad(remi[:, d:], ((0, 0), (0, d)))
+                hit = dk == kk
+                nv = nv | jnp.where(hit, vk, 0)
+                nr = nr + jnp.where(hit, rk - d, 0)
+            val = nv
+            rem = nr.astype(jnp.uint16) if rem_u16 else nr
+            shift += radix_bits
+        return val[:, :W]
+
+    timeit("C  radix-2 i32 rem (baseline)",
+           lambda v, k: radix_shuffle(v, k, 1, False), vals_d, keys_d)
+    timeit("C2 radix-4 i32 rem",
+           lambda v, k: radix_shuffle(v, k, 2, False), vals_d, keys_d)
+    timeit("C3 radix-8 i32 rem",
+           lambda v, k: radix_shuffle(v, k, 3, False), vals_d, keys_d)
+    timeit("C4 radix-4 u16 rem",
+           lambda v, k: radix_shuffle(v, k, 2, True), vals_d, keys_d)
+    timeit("C5 radix-16 i32 rem",
+           lambda v, k: radix_shuffle(v, k, 4, False), vals_d, keys_d)
+
+    # D: two packed single-operand u32 sorts (key in high bits, val half
+    # in low 16) + positional slice.  Keys unique and gapless -> after
+    # sort, word w sits exactly at position w.
+    def packed_sorts(v, k):
+        hi = (k << jnp.uint32(16)) | (v >> 16)          # key wraps: INF ok
+        lo = (k << jnp.uint32(16)) | (v & jnp.uint32(0xFFFF))
+        # INF keys (0xFFFFFFFF) must sort last: key<<16 of INF = 0xFFFF0000
+        # which exceeds any real key (< 2^15) << 16.  Fine.
+        hi_s = jax.lax.sort(hi, dimension=1)
+        lo_s = jax.lax.sort(lo, dimension=1)
+        return (hi_s[:, :W] << 16) | (lo_s[:, :W] & jnp.uint32(0xFFFF))
+    timeit("D  2x packed u32 single sorts", packed_sorts, vals_d, keys_d)
+
+    # E: ONE packed u64-equivalent via f32? skip.  E = one u32 sort as
+    # primitive cost floor:
+    def one_sort(v, k):
+        return jax.lax.sort(k, dimension=1)[:, :W]
+    print("(E is a lower bound primitive, not correct output)")
+    out = jax.jit(one_sort).lower(vals_d, keys_d).compile()
+    t0 = time.time()
+    rs = [out(vals_d, keys_d) for _ in range(iters)]
+    for x in rs:
+        x.block_until_ready()
+    print(f"{'E  one u32 single sort (floor)':42s} "
+          f"{(time.time()-t0)/iters*1000:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,14 +1,14 @@
-"""combine_chunks duplicate-budget verification (ADVICE r2).
+"""merge_sorted_chunks invariant verification (successor of the r2
+combine_chunks dup-budget check).
 
-The codec sizes combine_chunks' ``max_dups`` as 4 + 4*n_elements — a
-hand-derived bound on the CUMULATIVE duplicate extras across the packet
-(boundary words shared between header/shift/rice/END segments).  If the
-bound were ever exceeded the positional reconstruction would silently
-drop a word.  This test instruments combine_chunks, runs the WIDEST
-supported layout (7.1 = 8 channels: 5 elements) with mixed
-escape/compressed lanes, and asserts the measured displacement stays
-inside the budget — plus byte-parity so the instrumented run is a real
-encode.
+The sort-free merge requires that per lane the non-empty chunk keys are
+STRICTLY increasing and gaplessly cover [0, n) — i.e. the i-th non-empty
+slot holds exactly word i (flush-suppressed emission guarantees it).  A
+violated invariant would silently misplace words.  This test instruments
+merge_sorted_chunks, runs the WIDEST supported layout (7.1 = 8 channels:
+5 elements) with mixed escape/compressed lanes, asserts the invariant on
+the real streams, and byte-compares against the oracle so the
+instrumented run is a real encode.
 """
 
 import numpy as np
@@ -22,33 +22,33 @@ S = 64
 
 
 @pytest.mark.slow
-def test_dup_budget_widest_layout(rng, monkeypatch):
+def test_merge_invariant_widest_layout(rng, monkeypatch):
     import alacjax.codec as codec_mod
     from alacjax.codec import JaxCodec
 
     observed = []
-    real = bitpack.combine_chunks
+    real = bitpack.merge_sorted_chunks
 
-    def record(k, max_dups):
-        # concrete values at runtime (jax.debug.callback)
-        k = np.asarray(k)
-        for lane in range(k.shape[0]):
-            row = k[lane]
-            row = row[row != 0xFFFFFFFF]
-            first = np.concatenate([[True], row[1:] != row[:-1]])
-            pos = np.nonzero(first)[0]
-            disp = pos - row[first].astype(np.int64)
-            assert (disp >= 0).all(), "key gap: uncovered word index"
-            observed.append((int(disp.max(initial=0)), int(max_dups)))
+    def record(keys):
+        keys = np.asarray(keys)
+        for lane in range(keys.shape[0]):
+            k = keys[lane]
+            k = k[k != 0xFFFFFFFF].astype(np.int64)
+            # strictly increasing, gapless, starting at word 0
+            assert (k == np.arange(len(k))).all(), (
+                f"lane {lane}: keys violate the gapless-unique invariant")
+            observed.append(len(k))
 
-    def instrumented(vals, keys, num_words, max_dups=8):
+    def instrumented(vals, keys, tail_vals, tail_keys, num_words,
+                     radix_bits=2):
         import jax
-        import jax.numpy as jnp
 
-        jax.debug.callback(record, jnp.sort(keys, axis=1), max_dups)
-        return real(vals, keys, num_words, max_dups=max_dups)
+        jax.debug.callback(record, keys)
+        return real(vals, keys, tail_vals, tail_keys, num_words,
+                    radix_bits=radix_bits)
 
-    monkeypatch.setattr(codec_mod.bitpack, "combine_chunks", instrumented)
+    monkeypatch.setattr(codec_mod.bitpack, "merge_sorted_chunks",
+                        instrumented)
 
     cfg = AlacConfig(bit_depth=16, num_channels=8, frame_length=S)
     # mixed content: compressible lanes + full-scale noise (escape) lanes
@@ -65,7 +65,4 @@ def test_dup_budget_widest_layout(rng, monkeypatch):
     for i in range(4):
         assert pkts[i] == enc.encode_packet(x[i]), f"frame {i}"
 
-    assert observed, "instrumented combine_chunks never ran"
-    worst = max(d for d, _ in observed)
-    budget = min(m for _, m in observed)
-    assert worst <= budget, f"displacement {worst} exceeds budget {budget}"
+    assert observed, "instrumented merge_sorted_chunks never ran"
