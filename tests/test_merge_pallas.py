@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("B,T,W", [(8, 300, 120), (16, 1000, 380)])
 def test_pallas_merge_matches_xla(rng, B, T, W):
     import jax.numpy as jnp
