@@ -84,29 +84,107 @@ def _win_bits(ws, off, nbits):
     return jnp.right_shift(stream, (32 - nb) % 32) & mask
 
 
-def decode_channel(words, start_bits, num_samples: int, chanbits: int,
-                   mb0: int, pb, kb: int, wb: int,
-                   coefs0, mode, numactive, denshift):
-    """Decode + reconstruct one channel: (B, W) words -> (B, S) samples.
+def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
+                  pb_v, kb, wb, zero):
+    """One Rice-cursor substep shared by the fused decode scan and the
+    cursor-only pass: decodes one residual codeword (or consumes one
+    pending zero-run sample) and advances (bitpos, mb, zmode, run_rem,
+    c, err).  ``chanbits`` may be per-lane (B,) (stacked channels of
+    mixed SCE/CPE elements); ``chanbits_max`` is its static bound
+    (sizes the window reach).
 
-    start_bits/pb/coefs0/mode/numactive/denshift are per-lane; chanbits
-    is static (derived from the config's depth).  Returns
-    (samples (B, S) i32, end_bits (B,) i32, error (B,) bool).
+    Returns (new_state, res (B,) i32 raw residual, active, decode_now,
+    window ws) — the window is reused by callers for extra reads.
     """
-    B, W = words.shape
-    S = num_samples
+    bitpos, mb, zmode, run_rem, c, err = st
+    max_adv = MAX_PREFIX_32 + chanbits_max + MAX_PREFIX_16 + 16
 
-    max_adv = MAX_PREFIX_32 + chanbits + MAX_PREFIX_16 + 16
-    # ALACJAX_DECODE_G caps the substeps per scan step: XLA:CPU compile
-    # time is superlinear in the step-body size (~200 s at G=8 vs
-    # seconds at G=2), so the CPU test tier and the multichip dryrun cap
-    # it; results are bit-identical at any G (the cache just refills
-    # more often), and TPU keeps the G=8 throughput sweet spot.
-    import os
-    g_cap = int(os.environ.get("ALACJAX_DECODE_G", "8"))
-    G = max(1, min(g_cap, 416 // max_adv))
-    n_steps = -(-S // G)
+    active = c < S
+    in_run = run_rem > 0
+    decode_now = active & ~in_run
 
+    # substep g's cursor sits < 8 words past the refill base plus at
+    # most g*max_adv bits: early substeps get short select chains
+    off0 = bitpos - blk_base * 32
+    max_rel = min(_MAX_REL, 7 + (g * max_adv + 31) // 32)
+    ws = _fetch_window4(blk, (off0 >> 5).astype(I32), max_rel)
+    woff = (off0 & 31).astype(I32)
+
+    m0 = mb >> QBSHIFT
+    k = jnp.minimum(lg3a(m0), kb)
+    m = jnp.left_shift(_U32_ONE, k.astype(U32)) - 1
+
+    stream = _win_read32(ws, woff)
+    pre = clz32(~stream)
+    esc = pre >= MAX_PREFIX_32
+    v = jnp.right_shift(jnp.left_shift(stream, (pre + 1).astype(U32)),
+                        ((32 - k) % 32).astype(U32))
+    use_v = (k != 1) & ~esc
+    vge2 = v >= 2
+    n_plain = (pre.astype(U32) * m
+               + jnp.where(use_v & vge2, v - 1, jnp.uint32(0)))
+    adv_plain = pre + 1 + jnp.where(use_v, jnp.where(vge2, k, k - 1), 0)
+    raw = _win_bits(ws, woff + MAX_PREFIX_32, chanbits)
+    n = jnp.where(esc, raw, n_plain)
+    adv = jnp.where(esc, MAX_PREFIX_32 + chanbits, adv_plain)
+
+    ndecode = n + zmode
+    half = (ndecode >> 1).astype(I32)
+    delta = jnp.where((ndecode & 1) == 1, -(half + 1), half)
+
+    c1 = c + 1
+    mb_upd = (pb_v * ndecode + mb - ((pb_v * mb) >> PBSHIFT)).astype(U32)
+    mb_upd = jnp.where(n > N_MAX_MEAN_CLAMP,
+                       jnp.uint32(N_MEAN_CLAMP_VAL), mb_upd)
+
+    trigger = decode_now & ((mb_upd << MMULSHIFT) < QB) & (c1 < S)
+
+    # zero-run codeword (speculative; used when trigger)
+    kz = (clz32(mb_upd) - 24
+          + ((mb_upd + jnp.uint32(16)) >> 6).astype(I32))
+    mz = (jnp.left_shift(_U32_ONE, kz.astype(U32)) - 1) & jnp.uint32(wb)
+    off2 = woff + adv
+    stream2 = _win_read32(ws, off2)
+    pre2 = clz32(~stream2)
+    esc2 = pre2 >= MAX_PREFIX_16
+    v2 = jnp.right_shift(jnp.left_shift(stream2, (pre2 + 1).astype(U32)),
+                         ((32 - kz) % 32).astype(U32))
+    v2ge2 = v2 >= 2
+    nz_plain = (pre2.astype(U32) * jnp.maximum(mz, _U32_ONE)
+                + jnp.where((kz != 1) & v2ge2, v2 - 1, jnp.uint32(0)))
+    adv2_plain = pre2 + 1 + jnp.where(kz != 1,
+                                      jnp.where(v2ge2, kz, kz - 1), 0)
+    raw2 = _win_bits(ws, off2 + MAX_PREFIX_16, 16)
+    nz = jnp.where(esc2, raw2, nz_plain)
+    adv2 = jnp.where(esc2, MAX_PREFIX_16 + 16, adv2_plain)
+
+    overrun = trigger & (c1.astype(U32) + nz > S)
+    err = err | overrun
+    nz_safe = jnp.where(overrun, jnp.uint32(0), nz)
+
+    # ---- merge run-consume vs codeword-decode vs idle ----
+    res = jnp.where(decode_now, delta, zero)
+    run_rem2 = jnp.where(active,
+                         jnp.where(in_run, run_rem - 1,
+                                   jnp.where(trigger, nz_safe,
+                                             jnp.uint32(0))),
+                         run_rem)
+    zmode2 = jnp.where(decode_now,
+                       jnp.where(trigger & (nz_safe < 65535) & ~overrun,
+                                 jnp.uint32(1), jnp.uint32(0)), zmode)
+    mb2 = jnp.where(decode_now,
+                    jnp.where(trigger, jnp.uint32(0), mb_upd), mb)
+    bitpos2 = jnp.where(decode_now,
+                        bitpos + adv + jnp.where(trigger, adv2, 0),
+                        bitpos)
+    c2 = jnp.where(active, c1, c)
+    st2 = (bitpos2, mb2, zmode2, run_rem2, c2, err)
+    return st2, res, active
+
+
+def _make_cache(words, B):
+    """(B, W) word image -> row-fetch helper + padded row view."""
+    W = words.shape[1]
     W8 = (W + 7) // 8
     if W8 * 8 != W:
         words = jnp.pad(words, ((0, 0), (0, W8 * 8 - W)))
@@ -117,6 +195,103 @@ def decode_channel(words, start_bits, num_samples: int, chanbits: int,
         r = jnp.take(rows, lane_row0 + jnp.clip(row_idx, 0, W8 - 1), axis=0)
         return tuple(r[:, i] for i in range(8))
 
+    return fetch_row
+
+
+def cursor_scan(words, start_bits, num_samples: int, chanbits,
+                mb0: int, pb, kb: int, wb: int, chanbits_max: int = None,
+                skip=None):
+    """Rice-cursor-only pass: advance the bit cursor over a channel's
+    residual stream WITHOUT reconstructing samples — the cheap first leg
+    of the stacked decode (VERDICT r3 item 1a): channel c+1's start is
+    channel c's end, so a short cursor pass breaks the chain and lets
+    the expensive fused scans run stacked.
+
+    skip: (B,) bool — lanes whose cursor should not advance (escape
+    lanes).  Returns (end_bits (B,) i32, err (B,) bool).
+
+    Reference: the pass has no scalar counterpart (ag_dec.c decodes
+    values to advance); it replays only the length arithmetic.
+    """
+    B = words.shape[0]
+    S = num_samples
+    cb_max = chanbits_max if chanbits_max is not None else int(chanbits)
+    max_adv = MAX_PREFIX_32 + cb_max + MAX_PREFIX_16 + 16
+    import os
+    g_cap = int(os.environ.get("ALACJAX_DECODE_G", "8"))
+    G = max(1, min(g_cap, 416 // max_adv))
+    n_steps = -(-S // G)
+
+    fetch_row = _make_cache(words, B)
+    start_bits = jnp.asarray(start_bits, I32)
+    base0 = (start_bits >> 5) & ~jnp.int32(7)
+    blk0 = fetch_row(base0 >> 3) + fetch_row((base0 >> 3) + 1) \
+        + fetch_row((base0 >> 3) + 2)
+
+    pb_v = jnp.asarray(pb, dtype=U32)
+    zero = jnp.zeros((B,), dtype=I32)
+    if skip is None:
+        skip = jnp.zeros((B,), dtype=bool)
+    # skipped lanes: mark the sample counter done so substeps idle
+    c0 = jnp.where(skip, jnp.int32(S), 0)
+
+    def step(carry, _):
+        st = carry[:6]
+        blk_base = carry[6]
+        blk = carry[7:]
+        for g in range(G):
+            st, _, _ = _rice_substep(
+                st, blk, blk_base, g, S=S, chanbits=chanbits,
+                chanbits_max=cb_max, pb_v=pb_v, kb=kb, wb=wb, zero=zero)
+        rel = (st[0] >> 5) - blk_base
+        kshift = jnp.clip(rel >> 3, 0, 2)
+        ext = blk + fetch_row((blk_base >> 3) + 3) + fetch_row(
+            (blk_base >> 3) + 4)
+        blk2 = []
+        for i in range(_CACHE_WORDS):
+            w = ext[i]
+            w = jnp.where(kshift == 1, ext[i + 8], w)
+            w = jnp.where(kshift == 2, ext[i + 16], w)
+            blk2.append(w)
+        return (st + (blk_base + 8 * kshift,) + tuple(blk2)), None
+
+    st0 = (start_bits.astype(I32), jnp.full((B,), mb0, dtype=U32),
+           jnp.zeros((B,), dtype=U32), jnp.zeros((B,), dtype=U32),
+           c0, jnp.zeros((B,), dtype=bool), base0)
+    carry0 = st0 + blk0
+    final, _ = jax.lax.scan(step, carry0, None, length=n_steps)
+    end_bits = jnp.where(skip, start_bits, final[0])
+    return end_bits, final[5]
+
+
+def decode_channel(words, start_bits, num_samples: int, chanbits,
+                   mb0: int, pb, kb: int, wb: int,
+                   coefs0, mode, numactive, denshift,
+                   chanbits_max: int = None):
+    """Decode + reconstruct one channel: (B, W) words -> (B, S) samples.
+
+    start_bits/pb/coefs0/mode/numactive/denshift are per-lane; chanbits
+    may be static (single-config decode) or per-lane (B,) (stacked
+    channels across SCE/CPE elements), with ``chanbits_max`` its static
+    bound.  Returns (samples (B, S) i32, end_bits (B,) i32,
+    error (B,) bool).
+    """
+    B, W = words.shape
+    S = num_samples
+
+    cb_max = chanbits_max if chanbits_max is not None else int(chanbits)
+    max_adv = MAX_PREFIX_32 + cb_max + MAX_PREFIX_16 + 16
+    # ALACJAX_DECODE_G caps the substeps per scan step: XLA:CPU compile
+    # time is superlinear in the step-body size (~200 s at G=8 vs
+    # seconds at G=2), so the CPU test tier and the multichip dryrun cap
+    # it; results are bit-identical at any G (the cache just refills
+    # more often), and TPU keeps the G=8 throughput sweet spot.
+    import os
+    g_cap = int(os.environ.get("ALACJAX_DECODE_G", "8"))
+    G = max(1, min(g_cap, 416 // max_adv))
+    n_steps = -(-S // G)
+
+    fetch_row = _make_cache(words, B)
     start_bits = jnp.asarray(start_bits, I32)
     base0 = (start_bits >> 5) & ~jnp.int32(7)
     blk0 = fetch_row(base0 >> 3) + fetch_row((base0 >> 3) + 1) \
@@ -135,92 +310,16 @@ def decode_channel(words, start_bits, num_samples: int, chanbits: int,
     is31 = na == 31
 
     def substep(st, pred_st, blk, blk_base, g, nk):
-        bitpos, mb, zmode, run_rem, c, err = st
+        c = st[4]
         lags = pred_st[:_W]
         coefs = pred_st[_W:_W + kALACMaxCoefs]
         s1_acc, acc31 = pred_st[-2], pred_st[-1]
         na_k = jnp.minimum(na_eff, nk)
 
-        active = c < S
-        in_run = run_rem > 0
-        decode_now = active & ~in_run
-
-        # ---- rice codeword decode (masked out for run/idle lanes) ----
-        # substep g's cursor sits < 8 words past the refill base plus at
-        # most g*max_adv bits: early substeps get short select chains
-        off0 = bitpos - blk_base * 32
-        max_rel = min(_MAX_REL, 7 + (g * max_adv + 31) // 32)
-        ws = _fetch_window4(blk, (off0 >> 5).astype(I32), max_rel)
-        woff = (off0 & 31).astype(I32)
-
-        m0 = mb >> QBSHIFT
-        k = jnp.minimum(lg3a(m0), kb)
-        m = jnp.left_shift(_U32_ONE, k.astype(U32)) - 1
-
-        stream = _win_read32(ws, woff)
-        pre = clz32(~stream)
-        esc = pre >= MAX_PREFIX_32
-        v = jnp.right_shift(jnp.left_shift(stream, (pre + 1).astype(U32)),
-                            ((32 - k) % 32).astype(U32))
-        use_v = (k != 1) & ~esc
-        vge2 = v >= 2
-        n_plain = (pre.astype(U32) * m
-                   + jnp.where(use_v & vge2, v - 1, jnp.uint32(0)))
-        adv_plain = pre + 1 + jnp.where(use_v, jnp.where(vge2, k, k - 1), 0)
-        raw = _win_bits(ws, woff + MAX_PREFIX_32, chanbits)
-        n = jnp.where(esc, raw, n_plain)
-        adv = jnp.where(esc, MAX_PREFIX_32 + chanbits, adv_plain)
-
-        ndecode = n + zmode
-        half = (ndecode >> 1).astype(I32)
-        delta = jnp.where((ndecode & 1) == 1, -(half + 1), half)
-
-        c1 = c + 1
-        mb_upd = (pb_v * ndecode + mb - ((pb_v * mb) >> PBSHIFT)).astype(U32)
-        mb_upd = jnp.where(n > N_MAX_MEAN_CLAMP,
-                           jnp.uint32(N_MEAN_CLAMP_VAL), mb_upd)
-
-        trigger = decode_now & ((mb_upd << MMULSHIFT) < QB) & (c1 < S)
-
-        # zero-run codeword (speculative; used when trigger)
-        kz = (clz32(mb_upd) - 24
-              + ((mb_upd + jnp.uint32(16)) >> 6).astype(I32))
-        mz = (jnp.left_shift(_U32_ONE, kz.astype(U32)) - 1) & jnp.uint32(wb)
-        off2 = woff + adv
-        stream2 = _win_read32(ws, off2)
-        pre2 = clz32(~stream2)
-        esc2 = pre2 >= MAX_PREFIX_16
-        v2 = jnp.right_shift(jnp.left_shift(stream2, (pre2 + 1).astype(U32)),
-                             ((32 - kz) % 32).astype(U32))
-        v2ge2 = v2 >= 2
-        nz_plain = (pre2.astype(U32) * jnp.maximum(mz, _U32_ONE)
-                    + jnp.where((kz != 1) & v2ge2, v2 - 1, jnp.uint32(0)))
-        adv2_plain = pre2 + 1 + jnp.where(kz != 1,
-                                          jnp.where(v2ge2, kz, kz - 1), 0)
-        raw2 = _win_bits(ws, off2 + MAX_PREFIX_16, 16)
-        nz = jnp.where(esc2, raw2, nz_plain)
-        adv2 = jnp.where(esc2, MAX_PREFIX_16 + 16, adv2_plain)
-
-        overrun = trigger & (c1.astype(U32) + nz > S)
-        err = err | overrun
-        nz_safe = jnp.where(overrun, jnp.uint32(0), nz)
-
-        # ---- merge run-consume vs codeword-decode vs idle ----
-        res = jnp.where(decode_now, delta, zero)
-        run_rem2 = jnp.where(active,
-                             jnp.where(in_run, run_rem - 1,
-                                       jnp.where(trigger, nz_safe,
-                                                 jnp.uint32(0))),
-                             run_rem)
-        zmode2 = jnp.where(decode_now,
-                           jnp.where(trigger & (nz_safe < 65535) & ~overrun,
-                                     jnp.uint32(1), jnp.uint32(0)), zmode)
-        mb2 = jnp.where(decode_now,
-                        jnp.where(trigger, jnp.uint32(0), mb_upd), mb)
-        bitpos2 = jnp.where(decode_now,
-                            bitpos + adv + jnp.where(trigger, adv2, 0),
-                            bitpos)
-        c2 = jnp.where(active, c1, c)
+        # ---- rice codeword decode (shared cursor arithmetic) ----
+        st2, res, active = _rice_substep(
+            st, blk, blk_base, g, S=S, chanbits=chanbits,
+            chanbits_max=cb_max, pb_v=pb_v, kb=kb, wb=wb, zero=zero)
 
         # ---- fused predictor (dp_dec.c :: unpc_block + mode-31 stage) ----
         s1_acc2 = jnp.where(active, s1_acc + res, s1_acc)
@@ -267,7 +366,6 @@ def decode_channel(words, start_bits, num_samples: int, chanbits: int,
             for v, old in zip((out,) + lags[:-1], lags))
         new_coefs = [jnp.where(active, v, old)
                      for v, old in zip(new_coefs, coefs)]
-        st2 = (bitpos2, mb2, zmode2, run_rem2, c2, err)
         pred2 = new_lags + tuple(new_coefs) + (s1_acc2, acc31_2)
         return st2, pred2, out
 
