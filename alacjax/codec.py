@@ -663,30 +663,17 @@ def _unescape_words16(words, nch: int, S: int):
 
 
 def decode_frames_device(words, config: AlacConfig, num_samples: int):
-    """Jit core: (B, W) word image -> ((B, C, S) pcm, (B,) err flags).
-
-    Two passes (VERDICT r3 item 1a): pass A parses headers and runs the
-    cheap Rice CURSOR scan per channel (channel c+1's stream starts at
-    channel c's end — the only cross-channel dependency, ~40% of a fused
-    scan's latency since it skips the FIR chain), then pass B
-    reconstructs ALL channels of ALL elements in ONE stacked fused scan.
-    The reference decodes channels strictly serially
-    (codec/ALACDecoder.cpp :: Decode per-element loop)."""
+    """Jit core: (B, W) word image -> ((B, C, S) pcm, (B,) err flags)."""
     B = words.shape[0]
     S = num_samples
     depth = config.bit_depth
     mb0 = config.mb
     kb = config.kb
     wb = (1 << kb) - 1
-    bs = bytes_shifted_for_depth(depth)
 
-    # ---- pass A: headers + cursor chaining ----
+    out_ch = []
     bitpos = jnp.zeros((B,), dtype=I32)
     err = jnp.zeros((B,), dtype=bool)
-    elems_meta = []
-    chan_entries = []     # stacked-scan inputs, one per channel
-    n_chan_total = sum(w for _, w in config.elements)
-    ch_seen = 0
 
     for tag, width in config.elements:
         is_cpe = width == 2
@@ -700,6 +687,7 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
         # deviating from it fall back to the oracle (via the error flag),
         # which makes bs/chanbits STATIC: no zero-width shift gathers, and
         # the Rice escape width becomes a compile-time scalar.
+        bs = bytes_shifted_for_depth(depth)
         err = (err | (rtag != int(tag)) | (unused != 0) | (partial != 0)
                | (~esc & (bs_f != bs)) | (esc & (bs_f != 0)))
         bitpos = bitpos + 23
@@ -707,7 +695,6 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
 
         chanbits = depth - 8 * bs + (1 if is_cpe else 0)
 
-        mixbits_f = mixres_f = None
         if is_cpe:
             mixtok = rice._read_bits(words, bitpos, 16)
             mixbits_f = (mixtok >> 8).astype(I32)
@@ -728,6 +715,7 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
         shift_bits_total = width * S * 8 * bs
         bitpos = bitpos + jnp.where(esc, 0, shift_bits_total)
 
+        recon = []
         all_esc = jnp.all(esc)
         for ci in range(width):
             mode, den, pbf, order, coefs = params[ci]
@@ -736,69 +724,24 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
             # masked out); normalize the order so they can't force the
             # fused scan off its order<=8 fast branch
             order = jnp.where(esc, 0, order)
-            chan_entries.append(dict(
-                start=bitpos, chanbits=chanbits, pb=pb_lane, coefs=coefs,
-                mode=mode, order=order, den=den, esc=esc))
-            ch_seen += 1
-            if ch_seen < n_chan_total:
-                # cursor pass to find the next channel's start (the very
-                # last channel's end is unused)
-                with jax.named_scope("alacjax.cursor"):
-                    end, cerr = jax.lax.cond(
-                        all_esc,
-                        lambda: (bitpos, jnp.zeros((B,), bool)),
-                        lambda: fused_decode.cursor_scan(
-                            words, bitpos, S, chanbits, mb0, pb_lane, kb,
-                            wb, skip=esc))
-                err = err | (~esc & cerr)
-                bitpos = jnp.where(esc, bitpos, end)
-
-        esc_end = pos_esc + width * S * depth
-        bitpos = jnp.where(esc, esc_end, bitpos)
-        elems_meta.append(dict(
-            tag=tag, width=width, is_cpe=is_cpe, esc=esc, pos_esc=pos_esc,
-            pos_shift=pos_shift, mixbits=mixbits_f, mixres=mixres_f))
-
-    # ---- pass B: ONE stacked fused scan for every channel ----
-    cb_list = [e["chanbits"] for e in chan_entries]
-    cb_max = max(cb_list)
-    if len(set(cb_list)) == 1:
-        cb_arg = cb_list[0]
-    else:
-        cb_arg = jnp.concatenate(
-            [jnp.full((B,), cb, dtype=I32) for cb in cb_list], axis=0)
-    stack1 = lambda k: jnp.concatenate([e[k] for e in chan_entries], axis=0)
-    all_esc_global = jnp.all(jnp.concatenate([e["esc"] for e in
-                                              chan_entries], axis=0))
-    L = n_chan_total * B
-    words_rep = (words if n_chan_total == 1
-                 else jnp.concatenate([words] * n_chan_total, axis=0))
-    with jax.named_scope("alacjax.fused_decode"):
-        samples_all, _, rerr_all = jax.lax.cond(
-            all_esc_global,
-            lambda: (jnp.zeros((L, S), I32), jnp.zeros((L,), I32),
-                     jnp.zeros((L,), bool)),
-            lambda: fused_decode.decode_channel(
-                words_rep, stack1("start"), S, cb_arg, mb0, stack1("pb"),
-                kb, wb, stack1("coefs"), stack1("mode"), stack1("order"),
-                stack1("den"), chanbits_max=cb_max))
-    esc_all = jnp.concatenate([e["esc"] for e in chan_entries], axis=0)
-    err = err | jnp.any((~esc_all & rerr_all).reshape(n_chan_total, B),
-                        axis=0)
-
-    # ---- per-element reconstruction (unmix, shifts, escape select) ----
-    out_ch = []
-    ci0 = 0
-    for e in elems_meta:
-        width, is_cpe, esc = e["width"], e["is_cpe"], e["esc"]
-        recon = [samples_all[(ci0 + ci) * B:(ci0 + ci + 1) * B]
-                 for ci in range(width)]
-        ci0 += width
+            with jax.named_scope("alacjax.fused_decode"):
+                # when the whole batch escaped (noise content), the Rice
+                # streams don't exist — skip the scan at runtime
+                samples, bitpos_n, rerr = jax.lax.cond(
+                    all_esc,
+                    lambda: (jnp.zeros((B, S), I32), bitpos,
+                             jnp.zeros((B,), bool)),
+                    lambda: fused_decode.decode_channel(
+                        words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
+                        coefs, mode, order, den))
+            bitpos = jnp.where(esc, bitpos, bitpos_n)
+            err = err | (~esc & rerr)
+            recon.append(samples)
 
         # shift side-channel re-insert (static: absent when bs == 0)
         if bs:
             shifts = [
-                _extract_samples(words, e["pos_shift"] + ci * 8 * bs, S,
+                _extract_samples(words, pos_shift + ci * 8 * bs, S,
                                  width * 8 * bs, 8 * bs).astype(I32)
                 for ci in range(width)
             ]
@@ -807,23 +750,25 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
 
         if is_cpe:
             l, r = matrix.unmix(recon[0], recon[1],
-                                e["mixbits"][:, None], e["mixres"][:, None])
+                                mixbits_f[:, None], mixres_f[:, None])
             dec = [matrix.shift_in(l, shifts[0], bs),
                    matrix.shift_in(r, shifts[1], bs)]
         else:
             dec = [matrix.shift_in(recon[0], shifts[0], bs)]
 
         # escape lanes: raw samples at static stride from pos_esc
+        esc_end = pos_esc + width * S * depth
         if _fast_path_ok(config):
             # single element at bit 0: field offsets are static -> sliced
             raws = _unescape_words16(words, width, S)
         else:
             raws = [sign_extend(
-                _extract_samples(words, e["pos_esc"] + ci * depth, S,
+                _extract_samples(words, pos_esc + ci * depth, S,
                                  width * depth, depth).astype(I32), depth)
                 for ci in range(width)]
         for ci in range(width):
             out_ch.append(jnp.where(esc[:, None], raws[ci], dec[ci]))
+        bitpos = jnp.where(esc, esc_end, bitpos)
 
     pcm = jnp.stack(out_ch, axis=1)
     return pcm, err

@@ -53,16 +53,31 @@ _N_RICE = 7             # rice-state slots in the carry
 def _fetch_window4(blk, rel, max_rel=_MAX_REL):
     """Select 4 consecutive cache words starting at ``rel`` (0..max_rel).
 
-    One select chain serves every bit read of a substep.  ``max_rel`` is
-    the substep-specific reach bound: after a refill the cursor's word
-    sits at rel < 8, and substep g can have advanced at most
-    g * max_adv more bits, so early substeps need much shorter chains."""
-    w = [blk[0], blk[1], blk[2], blk[3]]
-    for j in range(1, max_rel + 1):
-        hit = rel == j
-        for i in range(4):
-            w[i] = jnp.where(hit, blk[j + i], w[i])
-    return tuple(w)
+    One select serves every bit read of a substep.  ``max_rel`` is the
+    substep-specific reach bound: after a refill the cursor's word sits
+    at rel < 8, and substep g can have advanced at most g * max_adv more
+    bits, so early substeps need much shorter selects.
+
+    The select is a BINARY TREE on the bits of ``rel`` (depth
+    ceil(log2(max_rel)) instead of a max_rel-deep linear chain): the
+    window fetch sits on the scan's serial bit-cursor critical path, and
+    the decode scan is latency-bound, so chain depth is what the step
+    costs.  Candidates past the cache tail pad with the last word — they
+    feed only select combinations that rel <= max_rel can never take.
+    """
+    need = 4
+    bit = 1
+    while bit <= max_rel:
+        need += bit
+        bit <<= 1
+    cand = [blk[min(j, len(blk) - 1)] for j in range(need)]
+    bit = 1
+    while bit <= max_rel:
+        take = (rel & bit) != 0
+        cand = [jnp.where(take, cand[i + bit], cand[i])
+                for i in range(len(cand) - bit)]
+        bit <<= 1
+    return tuple(cand[:4])
 
 
 def _win_read32(ws, off):
@@ -86,8 +101,7 @@ def _win_bits(ws, off, nbits):
 
 def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
                   pb_v, kb, wb, zero):
-    """One Rice-cursor substep shared by the fused decode scan and the
-    cursor-only pass: decodes one residual codeword (or consumes one
+    """One Rice-cursor substep of the fused decode scan: decodes one residual codeword (or consumes one
     pending zero-run sample) and advances (bitpos, mb, zmode, run_rem,
     c, err).  ``chanbits`` may be per-lane (B,) (stacked channels of
     mixed SCE/CPE elements); ``chanbits_max`` is its static bound
@@ -196,72 +210,6 @@ def _make_cache(words, B):
         return tuple(r[:, i] for i in range(8))
 
     return fetch_row
-
-
-def cursor_scan(words, start_bits, num_samples: int, chanbits,
-                mb0: int, pb, kb: int, wb: int, chanbits_max: int = None,
-                skip=None):
-    """Rice-cursor-only pass: advance the bit cursor over a channel's
-    residual stream WITHOUT reconstructing samples — the cheap first leg
-    of the stacked decode (VERDICT r3 item 1a): channel c+1's start is
-    channel c's end, so a short cursor pass breaks the chain and lets
-    the expensive fused scans run stacked.
-
-    skip: (B,) bool — lanes whose cursor should not advance (escape
-    lanes).  Returns (end_bits (B,) i32, err (B,) bool).
-
-    Reference: the pass has no scalar counterpart (ag_dec.c decodes
-    values to advance); it replays only the length arithmetic.
-    """
-    B = words.shape[0]
-    S = num_samples
-    cb_max = chanbits_max if chanbits_max is not None else int(chanbits)
-    max_adv = MAX_PREFIX_32 + cb_max + MAX_PREFIX_16 + 16
-    import os
-    g_cap = int(os.environ.get("ALACJAX_DECODE_G", "8"))
-    G = max(1, min(g_cap, 416 // max_adv))
-    n_steps = -(-S // G)
-
-    fetch_row = _make_cache(words, B)
-    start_bits = jnp.asarray(start_bits, I32)
-    base0 = (start_bits >> 5) & ~jnp.int32(7)
-    blk0 = fetch_row(base0 >> 3) + fetch_row((base0 >> 3) + 1) \
-        + fetch_row((base0 >> 3) + 2)
-
-    pb_v = jnp.asarray(pb, dtype=U32)
-    zero = jnp.zeros((B,), dtype=I32)
-    if skip is None:
-        skip = jnp.zeros((B,), dtype=bool)
-    # skipped lanes: mark the sample counter done so substeps idle
-    c0 = jnp.where(skip, jnp.int32(S), 0)
-
-    def step(carry, _):
-        st = carry[:6]
-        blk_base = carry[6]
-        blk = carry[7:]
-        for g in range(G):
-            st, _, _ = _rice_substep(
-                st, blk, blk_base, g, S=S, chanbits=chanbits,
-                chanbits_max=cb_max, pb_v=pb_v, kb=kb, wb=wb, zero=zero)
-        rel = (st[0] >> 5) - blk_base
-        kshift = jnp.clip(rel >> 3, 0, 2)
-        ext = blk + fetch_row((blk_base >> 3) + 3) + fetch_row(
-            (blk_base >> 3) + 4)
-        blk2 = []
-        for i in range(_CACHE_WORDS):
-            w = ext[i]
-            w = jnp.where(kshift == 1, ext[i + 8], w)
-            w = jnp.where(kshift == 2, ext[i + 16], w)
-            blk2.append(w)
-        return (st + (blk_base + 8 * kshift,) + tuple(blk2)), None
-
-    st0 = (start_bits.astype(I32), jnp.full((B,), mb0, dtype=U32),
-           jnp.zeros((B,), dtype=U32), jnp.zeros((B,), dtype=U32),
-           c0, jnp.zeros((B,), dtype=bool), base0)
-    carry0 = st0 + blk0
-    final, _ = jax.lax.scan(step, carry0, None, length=n_steps)
-    end_bits = jnp.where(skip, start_bits, final[0])
-    return end_bits, final[5]
 
 
 def decode_channel(words, start_bits, num_samples: int, chanbits,
