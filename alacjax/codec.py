@@ -173,24 +173,21 @@ def _search_channels(streams, chanbits_list, config, banks=None):
         cb_all = jnp.tile(cb_lane, len(orders))
     with jax.named_scope("alacjax.predict_cost"):
         if len(orders) == 1 and stages == [1]:
-            res_all, c1_all, coefs_all, em1_all = (
-                predict.pc_block_cost_coefs(
-                    xs, c0s, orders[0], cb_all, DENSHIFT_DEFAULT,
-                    mb0, pb, kb, wb, emit_words=True))
-            c2_all = em2_all = None
+            res_all, c1_all, coefs_all = predict.pc_block_cost_coefs(
+                xs, c0s, orders[0], cb_all, DENSHIFT_DEFAULT,
+                mb0, pb, kb, wb)
+            c2_all = None
         else:
             na = jnp.concatenate(
                 [jnp.full((W * B,), od, dtype=I32) for od in orders], axis=0)
-            res_all, c1_all, c2_all, coefs_all, em1_all, em2_all = (
-                predict.pc_block_cost2(
-                    xs, c0s, na, cb_all, DENSHIFT_DEFAULT, mb0, pb, kb, wb,
-                    emit_words=True))
+            res_all, c1_all, c2_all, coefs_all = predict.pc_block_cost2(
+                xs, c0s, na, cb_all, DENSHIFT_DEFAULT, mb0, pb, kb, wb)
 
     res_list, order_list, mode_list = [], [], []
-    rice_list, coefs0_list, adapted_list, em_list = [], [], [], []
+    rice_list, coefs0_list, adapted_list = [], [], []
     for ci in range(W):
         chanbits = chanbits_list[ci]
-        cand_costs, cand_rice, cand_em = [], [], []
+        cand_costs, cand_rice = [], []
         by_order, by_c0, by_adapt = {}, {}, {}
         for oi, od in enumerate(orders):
             sl = slice((oi * W + ci) * B, (oi * W + ci + 1) * B)
@@ -199,11 +196,9 @@ def _search_channels(streams, chanbits_list, config, banks=None):
             by_adapt[od] = coefs_all[sl]
             rcosts = [c1_all[sl]] if c2_all is None else [c1_all[sl],
                                                           c2_all[sl]]
-            ems = [em1_all] if em2_all is None else [em1_all, em2_all]
-            for stg, rc, em in zip(stages, rcosts, ems):
+            for stg, rc in zip(stages, rcosts):
                 cand_costs.append(16 + 16 * od + rc)
                 cand_rice.append(rc)
-                cand_em.append(tuple(a[sl] for a in em))
         costs = jnp.stack(cand_costs, axis=0)           # (K, B)
         win = jnp.argmin(costs, axis=0)                 # first minimum wins
         rice_win = jnp.take_along_axis(
@@ -224,26 +219,80 @@ def _search_channels(streams, chanbits_list, config, banks=None):
         if len(stages) > 1:
             res_win = jnp.where((mode_win == 1)[:, None],
                                 predict.wrap_diff(res_win, chanbits), res_win)
-        # winning candidate's phase-0 emission (slots, counts, tail)
-        em_win = list(cand_em[0])
-        for ki in range(1, len(cand_em)):
-            hit = win == ki
-            em_win = [jnp.where(hit[:, None] if a.ndim == 2 else hit, a, w)
-                      for w, a in zip(em_win, cand_em[ki])]
         res_list.append(res_win)
         order_list.append(order_win)
         mode_list.append(mode_win)
         rice_list.append(rice_win)
         coefs0_list.append(coefs0_win)
         adapted_list.append(by_adapt)
-        em_list.append(tuple(em_win))
     return (res_list, order_list, mode_list, rice_list,
-            coefs0_list, adapted_list, em_list)
+            coefs0_list, adapted_list)
 
 
 # ---------------------------------------------------------------------------
-# scatter-free packet assembly: every depth / element layout as segments
+# scatter-free packet assembly: every depth / element layout as word chunks
 # ---------------------------------------------------------------------------
+def _segment_keys(base_word, n: int):
+    """Absolute word keys base..base+n-1 for a placed segment (per lane)."""
+    return base_word[:, None].astype(U32) + iota1(n, U32)[None, :]
+
+
+def _emit_header(vals_list, lens_list, start_bits, cap_bits: int):
+    """Assemble small header token streams at a per-lane absolute offset.
+
+    A leading zero token of length (start & 31) phase-aligns the image;
+    keys are (start >> 5) + iota.  Only COMPLETE words [start>>5, end>>5)
+    keep real keys (the merge invariant: gapless unique coverage); the
+    final partial word is returned separately as a tail to OR.
+
+    Returns (words, keys, end_bits, tail_val, tail_key)."""
+    B = start_bits.shape[0]
+    phase = (start_bits & 31).astype(I32)
+    vals = jnp.concatenate([jnp.zeros((B, 1), U32)] + vals_list, axis=1)
+    lens = jnp.concatenate([phase[:, None]] + lens_list, axis=1)
+    cap_words = (31 + cap_bits + 31) // 32
+    words, img_bits = bitpack.assemble(vals, lens, cap_words)
+    keys = _segment_keys(start_bits >> 5, cap_words)
+    n_complete = (img_bits >> 5)[:, None]
+    keys = jnp.where(iota1(cap_words, I32)[None, :] < n_complete, keys,
+                     jnp.uint32(0xFFFFFFFF))
+    # partial tail word at image position n_complete (gather-free select;
+    # cap_words is small and static)
+    has_tail = (img_bits & 31) > 0
+    tail_val = jnp.zeros((B,), U32)
+    for i in range(cap_words):
+        tail_val = jnp.where(n_complete[:, 0] == i, words[:, i], tail_val)
+    tail_val = jnp.where(has_tail, tail_val, 0)
+    tail_key = ((start_bits >> 5) + (img_bits >> 5)).astype(U32)
+    return words, keys, start_bits + img_bits - phase, tail_val, tail_key
+
+
+def _emit_block(fields, d: int, start_bits):
+    """Pack fixed-width fields and place them at per-lane bit offsets:
+    phase-0 pack (no scatter) + per-lane funnel shift + word keys.
+    Same complete-words-only key masking as _emit_header; the block bit
+    length is STATIC, so the tail position takes one of two values.
+
+    Returns (words, keys, end_bits, tail_val, tail_key)."""
+    img = bitpack.pack_fields(fields, d)
+    placed = bitpack.place_segment(img, (start_bits & 31).astype(U32))
+    keys = _segment_keys(start_bits >> 5, placed.shape[1])
+    nbits = fields.shape[1] * d
+    phase = (start_bits & 31).astype(I32)
+    n_complete = (phase + nbits) >> 5
+    keys = jnp.where(iota1(placed.shape[1], I32)[None, :] < n_complete[:, None],
+                     keys, jnp.uint32(0xFFFFFFFF))
+    end = start_bits + nbits
+    has_tail = (end & 31) > 0
+    lo, hi = nbits >> 5, (31 + nbits) >> 5
+    tail_val = jnp.where(n_complete == lo, placed[:, lo],
+                         placed[:, hi] if hi < placed.shape[1]
+                         else jnp.uint32(0))
+    tail_val = jnp.where(has_tail, tail_val, 0)
+    tail_key = ((start_bits >> 5) + n_complete).astype(U32)
+    return placed, keys, end, tail_val, tail_key
+
+
 def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
                           banks=None):
     """Packet assembly without any large scatter, all configs.
@@ -317,7 +366,7 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         all_cb.extend([e["chanbits"]] * e["width"])
         if banks is not None:
             all_banks.extend(banks[e["ch0"] + i] for i in range(e["width"]))
-    (res_l, orders_l, modes_l, rice_l, coefs0_l, adapted_l, em_l) = (
+    (res_l, orders_l, modes_l, rice_l, coefs0_l, adapted_l) = (
         _search_channels(all_streams, all_cb, config,
                          banks=all_banks if banks is not None else None))
     ci0 = 0
@@ -331,7 +380,6 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         e["rice_bits"] = rice_l[sl]
         e["coefs0_win"] = coefs0_l[sl]
         e["adapted"] = adapted_l[sl]
-        e["rice_em"] = em_l[sl]
         is_cpe, width = e["is_cpe"], e["width"]
         hdr_bits = (23 + (16 if is_cpe else 0) + width * 16
                     + 16 * sum(e["orders_win"]))
@@ -363,19 +411,40 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         start = start + e["elem_bits"]
     total_c = start
 
-    # ---- pass 2: per-lane SEGMENTS for the placer ----
-    # Rice words came out of the search scan itself (phase-0 relative,
-    # in-search emission — no separate emission scan); headers and
-    # shift/escape field blocks are phase-0 images.  bitpack.
-    # place_segments densifies, funnel-shifts and ORs everything
-    # (Pallas kernel on TPU, keyed radix merge on the CPU test tier).
-    segments = []
+    # ---- pass 2a: ONE stacked Rice emission over every channel ----
+    # (absolute start offsets are closed-form in the search results)
+    rice_feed, rice_starts, rice_cb = [], [], []
+    for e in elems:
+        hdr_len = (23 + (16 if e["is_cpe"] else 0) + e["width"] * 16
+                   + 16 * sum(e["orders_win"]))
+        pos = e["start"] + hdr_len + e["width"] * S * 8 * bs
+        for ci in range(e["width"]):
+            rice_feed.append(e["res_win"][ci])
+            rice_starts.append(pos)
+            rice_cb.append(e["chanbits"])
+            pos = pos + e["rice_bits"][ci]
+    if len(set(rice_cb)) == 1:
+        cb_arg = rice_cb[0]
+    else:
+        cb_arg = jnp.concatenate(
+            [jnp.full((B,), cb, dtype=I32) for cb in rice_cb], axis=0)
+    with jax.named_scope("alacjax.rice_words"):
+        cw_all, ck_all, _, ctv_all, ctk_all = rice.rice_encode_words(
+            jnp.concatenate(rice_feed, axis=0), cb_arg, mb0, pb, kb, wb,
+            jnp.concatenate(rice_starts, axis=0), bit_size_cap=max(rice_cb),
+            emit_flush=False)
+
+    # ---- pass 2b: emission ----
+    # Big chunk arrays carry only COMPLETE words (strictly increasing
+    # keys, gapless coverage — the merge_sorted_chunks invariant); every
+    # segment's final partial word is collected as a per-lane tail and
+    # OR'd by the merger.
+    all_vals, all_keys = [], []
+    tail_v, tail_k = [], []
+    rci = 0
     for e in elems:
         width, is_cpe = e["width"], e["is_cpe"]
-        ue = e["use_escape"]
-        not_ue = ~ue
-
-        # compressed header image (phase 0)
+        # compressed stream: header tokens
         hv = [jnp.full((B, 1), _header23(e["tag"], e["instance"], bs, False),
                        dtype=U32)]
         hl = [jnp.full((B, 1), 23, I32)]
@@ -389,61 +458,81 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             hl.append(jnp.full((B, 1), 16, I32))
             cv, cl = _coef_tokens(e["coefs0_win"][ci], e["orders_win"][ci])
             hv.append(cv); hl.append(cl)
-        cap_bits = 23 + 16 + width * (16 + 16 * kALACMaxCoefs)
-        himg, hbits = bitpack.assemble(
-            jnp.concatenate(hv, axis=1), jnp.concatenate(hl, axis=1),
-            (cap_bits + 31) // 32)
-        segments.append(dict(kind="dense", img=himg, nbits=hbits,
-                             start=e["start"], mask=not_ue))
-        pos = e["start"] + hbits
+        cap = 23 + 16 + width * (16 + 16 * kALACMaxCoefs)
+        hw, hk, pos, htv, htk = _emit_header(hv, hl, e["start"], cap)
+        seg_v, seg_k = [hw], [hk]
+        tv_c, tk_c = [htv], [htk]
 
         # shift-byte block (interleaved per sample/channel)
         if bs:
             sh = (_interleave2(e["los"][0], e["los"][1]) if is_cpe
                   else e["los"][0])
-            simg = bitpack.pack_fields(sh.astype(U32), 8 * bs)
-            segments.append(dict(kind="dense", img=simg,
-                                 nbits=width * S * 8 * bs,
-                                 start=pos, mask=not_ue))
-            pos = pos + width * S * 8 * bs
+            bw, bk, pos, btv, btk = _emit_block(sh.astype(U32), 8 * bs, pos)
+            seg_v.append(bw); seg_k.append(bk)
+            tv_c.append(btv); tk_c.append(btk)
 
-        # Rice streams: phase-0 sparse slots from the in-search emission
-        esc_bits_elem = 23 + width * S * depth
-        for ci in range(width):
-            slots, cnts, tail = e["rice_em"][ci]
-            n_slots = slots.shape[1] // cnts.shape[1]
-            emit = (cnts[:, :, None]
-                    > jnp.arange(n_slots, dtype=cnts.dtype)[None, None, :]
-                    ).reshape(B, -1)
-            cap_words = min(slots.shape[1] + 1, esc_bits_elem // 32 + 2)
-            segments.append(dict(
-                kind="sparse", vals=slots, emit=emit,
-                nbits=e["rice_bits"][ci], tail=tail, start=pos,
-                mask=not_ue, cap_words=cap_words))
-            pos = pos + e["rice_bits"][ci]
+        # Rice chunk streams for this element (from the stacked emission)
+        for _ in range(width):
+            seg_v.append(cw_all[rci * B:(rci + 1) * B])
+            seg_k.append(ck_all[rci * B:(rci + 1) * B])
+            tv_c.append(ctv_all[rci * B:(rci + 1) * B])
+            tk_c.append(ctk_all[rci * B:(rci + 1) * B])
+            rci += 1
+        vals_c = jnp.concatenate(seg_v, axis=1)
+        keys_c = jnp.concatenate(seg_k, axis=1)
 
-        # escape: 23-bit header + raw samples at full depth
-        ehdr = jnp.full(
-            (B, 1),
-            np.uint32(_header23(e["tag"], e["instance"], 0, True)) << 9,
-            dtype=U32)
-        segments.append(dict(kind="dense", img=ehdr, nbits=23,
-                             start=e["start"], mask=ue))
+        # escape stream: 23-bit header + raw samples at full depth
+        ehv = [jnp.full((B, 1), _header23(e["tag"], e["instance"], 0, True),
+                        dtype=U32)]
+        ehl = [jnp.full((B, 1), 23, I32)]
+        ew, ek, epos, etv, etk = _emit_header(ehv, ehl, e["start"], 23)
         raw = (_interleave2(e["chans"][0], e["chans"][1]) if is_cpe
                else e["chans"][0])
-        rimg = bitpack.pack_fields(raw.astype(U32), depth)
-        segments.append(dict(kind="dense", img=rimg,
-                             nbits=width * S * depth,
-                             start=e["start"] + 23, mask=ue))
+        rw, rk, _, rtv, rtk = _emit_block(raw.astype(U32), depth, epos)
+        vals_e = jnp.concatenate([ew, rw], axis=1)
+        keys_e = jnp.concatenate([ek, rk], axis=1)
+        tv_e, tk_e = [etv, rtv], [etk, rtk]
 
-    # END tag: 3 bits '111' at the packet end
-    segments.append(dict(
-        kind="dense", img=jnp.full((B, 1), 0xE0000000, dtype=U32),
-        nbits=3, start=total_c, mask=jnp.ones((B,), bool)))
+        # per-lane select; pad the (always smaller) escape stream
+        pad = vals_c.shape[1] - vals_e.shape[1]
+        if pad < 0:
+            vals_c = jnp.pad(vals_c, ((0, 0), (0, -pad)))
+            keys_c = jnp.pad(keys_c, ((0, 0), (0, -pad)),
+                             constant_values=np.uint32(0xFFFFFFFF))
+            pad = 0
+        vals_e = jnp.pad(vals_e, ((0, 0), (0, pad)))
+        keys_e = jnp.pad(keys_e, ((0, 0), (0, pad)),
+                         constant_values=np.uint32(0xFFFFFFFF))
+        ue = e["use_escape"][:, None]
+        all_vals.append(jnp.where(ue, vals_e, vals_c))
+        all_keys.append(jnp.where(ue, keys_e, keys_c))
+        # select tails per lane too (pad variant lists to equal length)
+        while len(tv_e) < len(tv_c):
+            tv_e.append(jnp.zeros((B,), U32))
+            tk_e.append(jnp.full((B,), 0xFFFFFFFF, U32))
+        ue1 = e["use_escape"]
+        for a_v, a_k, b_v, b_k in zip(tv_c, tk_c, tv_e, tk_e):
+            tail_v.append(jnp.where(ue1, b_v, a_v))
+            tail_k.append(jnp.where(ue1, b_k, a_k))
+
+    # ---- END tag (3 bits) at the known end position: pure tails ----
+    phase = (total_c & 31).astype(U32)
+    end_hi = jnp.right_shift(jnp.uint32(7 << 29), phase)
+    end_lo = jnp.where(phase > 29,
+                       jnp.left_shift(jnp.uint32(7), (61 - phase) % 32),
+                       jnp.uint32(0))
+    tail_v.extend([end_hi, end_lo])
+    tail_k.extend([(total_c >> 5).astype(U32),
+                   jnp.where(phase > 29, ((total_c >> 5) + 1).astype(U32),
+                             jnp.uint32(0xFFFFFFFF))])
     total_bits = total_c + 3  # byte-align pad bits are zeros: no emission
 
-    with jax.named_scope("alacjax.place_segments"):
-        words = bitpack.place_segments(segments, num_words)
+    vals = jnp.concatenate(all_vals, axis=1)
+    keys = jnp.concatenate(all_keys, axis=1)
+    with jax.named_scope("alacjax.merge_chunks"):
+        words = bitpack.merge_sorted_chunks(
+            vals, keys, jnp.stack(tail_v, axis=1), jnp.stack(tail_k, axis=1),
+            num_words, radix_bits=_merge_radix())
     return words, total_bits, new_banks
 
 

@@ -320,92 +320,6 @@ def merge_sorted_chunks(vals, keys, tail_vals, tail_keys, num_words: int,
     return out
 
 
-def _segment_keys(base_word, n: int):
-    """Absolute word keys base..base+n-1 for a placed segment (per lane)."""
-    return base_word[:, None].astype(U32) + iota1(n, U32)[None, :]
-
-
-def place_segments(segments, num_words: int):
-    """Assemble a packet image from per-lane SEGMENTS — the v3 packet
-    assembler fed by in-search emission (no separate Rice emission scan).
-
-    Each segment is a dict:
-      kind "sparse": {vals (B, T) u32 slot words, emit (B, T) bool,
-                      nbits (B,) total bits, tail (B,) u32 partial word,
-                      start (B,) absolute bit offset, mask (B,) bool,
-                      cap_words: int static densified width}
-        — phase-0 relative stream in emission slots; the i-th emitted
-        slot is relative word i (gapless by construction).
-      kind "dense":  {img (B, Wseg) u32 phase-0 words, nbits (B,) or int,
-                      start, mask}
-    Segments must be listed in per-lane stream order (masked segments
-    may interleave; their lanes contribute nothing).
-
-    On TPU a Pallas kernel densifies, funnel-shifts by start&31,
-    word-shifts by start>>5, and ORs — all in VMEM (ops/pallas/place.py).
-    The XLA path densifies each sparse segment (sort; test tier only),
-    then reuses the keyed radix merge (merge_sorted_chunks invariant:
-    complete words per segment are contiguous and gapless across the
-    ordered segments).
-    """
-    B = segments[0]["start"].shape[0]
-    if _pallas_merge_enabled() and B % 8 == 0:
-        from .pallas.place import place_segments_pallas
-        return place_segments_pallas(segments, num_words)
-
-    INF = np.uint32(0xFFFFFFFF)
-    all_vals, all_keys = [], []
-    tail_v, tail_k = [], []
-    for seg in segments:
-        start = jnp.asarray(seg["start"], I32)
-        mask = seg["mask"]
-        if seg.get("kind", "dense") == "sparse":
-            emit = seg["emit"]
-            T = seg["vals"].shape[1]
-            cap = seg["cap_words"]
-            rel = jnp.where(emit, jnp.cumsum(emit.astype(I32), axis=1) - 1,
-                            jnp.int32(0x7FFFFFFF))
-            key_sorted, val_sorted = jax.lax.sort(
-                (rel.astype(U32), seg["vals"].astype(U32)),
-                dimension=1, num_keys=1)
-            dense = val_sorted[:, :cap]
-            nbits = jnp.asarray(seg["nbits"], I32)
-            # partial tail word joins the dense image at word nbits>>5
-            wtail = (nbits >> 5)[:, None]
-            dense = dense | jnp.where(
-                iota1(cap, I32)[None, :] == wtail, seg["tail"][:, None], 0)
-            img = dense
-        else:
-            img = seg["img"].astype(U32)
-            nbits = jnp.asarray(seg["nbits"], I32)
-            if nbits.ndim == 0:
-                nbits = jnp.broadcast_to(nbits, (B,))
-        phase = (start & 31).astype(U32)
-        placed = place_segment(img, phase)           # (B, Wseg+1)
-        end = start + nbits
-        n_complete = ((start & 31) + nbits) >> 5
-        keys = _segment_keys(start >> 5, placed.shape[1])
-        keys = jnp.where(
-            (iota1(placed.shape[1], I32)[None, :] < n_complete[:, None])
-            & mask[:, None], keys, INF)
-        all_vals.append(placed)
-        all_keys.append(keys)
-        # boundary tail word of the PLACED segment (end & 31 bits); tiny
-        # per-lane gather — this is the CPU test path, TPU uses Pallas
-        has_tail = ((end & 31) > 0) & mask
-        tv = jnp.take_along_axis(
-            placed, jnp.clip(n_complete, 0, placed.shape[1] - 1)[:, None],
-            axis=1)[:, 0]
-        tail_v.append(jnp.where(has_tail, tv, 0))
-        tail_k.append(jnp.where(has_tail,
-                                ((start >> 5) + n_complete).astype(U32), INF))
-
-    vals = jnp.concatenate(all_vals, axis=1)
-    keys = jnp.concatenate(all_keys, axis=1)
-    return merge_sorted_chunks(vals, keys, jnp.stack(tail_v, axis=1),
-                               jnp.stack(tail_k, axis=1), num_words)
-
-
 def words_to_bytes(words: np.ndarray, total_bits: np.ndarray) -> list[bytes]:
     """Host-side: big-endian word images -> per-frame byte strings,
     truncated to ceil(total_bits/8)."""

@@ -47,8 +47,7 @@ def _unroll() -> int:
 
 
 def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
-                  cost_params=None, dual_cost: bool = False,
-                  emit_words: bool = False):
+                  cost_params=None, dual_cost: bool = False):
     """Shared general-mode scan.  x_sb: (S, B) time-major input (samples on
     encode, residuals on decode).  Returns (out (S, B), coefs (B, 16)) or,
     with cost_params=(mb0, pb, kb, wb) on encode, (out, coefs, cost_bits):
@@ -61,17 +60,7 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
     first-difference of the residual stream (the stage-2 / mode!=0
     cascade candidate, dp_enc.c :: pc_block numactive==31 applied to the
     FIR residuals) and returns (out, coefs, cost_bits, cost2_bits) — the
-    whole order x stage candidate grid then costs one scan per order.
-
-    emit_words=True upgrades each cost machine to a full PHASE-0 word
-    emitter (rice._append_bits accumulator): the scan then ALSO returns,
-    per stage, (slots (B, n_slots*(S+1)) u32, counts (B, S+1) i8,
-    tail_val (B,) u32) — the candidate's packed words at relative bit 0,
-    ready for the segment placer.  The separate post-search Rice
-    emission scan disappears: its tokens were already being computed
-    here for the cost, so emitting costs only the append chain, while a
-    whole S-step scan of serial latency is saved (VERDICT r3 item 1c).
-    """
+    whole order x stage candidate grid then costs one scan per order."""
     S, B = x_sb.shape
     static_na = isinstance(na, int)
     na_v = None if static_na else na.astype(I32)
@@ -89,39 +78,15 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
         assert not decode
         from . import rice as rice_mod
         mb0_c, pb_c, kb_c, wb_c = cost_params
-    n_slots = 0
-    if emit_words:
-        from ..types import MAX_PREFIX_32
-        assert cost_params is not None
-        cap = chanbits if isinstance(chanbits, int) else 33
-        n_slots = (31 + 25 + MAX_PREFIX_32 + cap) // 32
-
-    def _emit_append(acc, fill, vals, lens):
-        """Append a step's tokens to the phase-0 word accumulator; out to
-        positional slots (mirrors rice.rice_encode_words, keyless)."""
-        slots = [jnp.zeros((B,), jnp.uint32) for _ in range(n_slots)]
-        n = jnp.zeros((B,), I32)
-        for v, L in zip(vals, lens):
-            acc, fill, n2, w, emit = rice_mod._append_bits(acc, fill, n, v, L)
-            for si in range(n_slots):
-                slots[si] = jnp.where(emit & (n == si), w, slots[si])
-            n = n2
-        return acc, fill, slots, n
 
     nc = _W + kALACMaxCoefs + 1  # core carry slots
 
     def step(carry, inp):
         if cost_params is not None:
             rice_state, total = carry[nc:nc + 5], carry[nc + 5]
-            p = nc + 6
-            if emit_words:
-                acc1, fill1 = carry[p], carry[p + 1]
-                p += 2
             if dual_cost:
-                prev_out = carry[p]
-                rice2, total2 = carry[p + 1:p + 6], carry[p + 6]
-                if emit_words:
-                    acc2, fill2 = carry[p + 7], carry[p + 8]
+                prev_out = carry[nc + 6]
+                rice2, total2 = carry[nc + 7:nc + 12], carry[nc + 12]
             carry = carry[:nc]
         lags, coefs, t = carry[:_W], carry[_W:_W + kALACMaxCoefs], carry[-1]
         x_t = inp
@@ -180,89 +145,43 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
         new_carry = new_lags + tuple(new_coefs) + (t + 1,)
         if cost_params is None:
             return new_carry, out
-        rice_state, vals1, lens = rice_mod._encode_step_tokens(
+        rice_state, _, lens = rice_mod._encode_step_tokens(
             out, t, rice_state, S=S, bit_size=chanbits,
             pb=pb_c, kb=kb_c, wb=wb_c)
         total = total + lens[0] + lens[1] + lens[2]
         tail = rice_state + (total,)
-        ys = (out,)
-        if emit_words:
-            acc1, fill1, slots1, n1 = _emit_append(acc1, fill1, vals1, lens)
-            tail = tail + (acc1, fill1)
-            ys = ys + tuple(slots1) + (n1.astype(jnp.int8),)
         if dual_cost:
             d = jnp.where(t == 0, out, sign_extend(out - prev_out, chanbits))
-            rice2, vals2, lens2 = rice_mod._encode_step_tokens(
+            rice2, _, lens2 = rice_mod._encode_step_tokens(
                 d, t, rice2, S=S, bit_size=chanbits,
                 pb=pb_c, kb=kb_c, wb=wb_c)
             total2 = total2 + lens2[0] + lens2[1] + lens2[2]
             tail = tail + (out,) + rice2 + (total2,)
-            if emit_words:
-                acc2, fill2, slots2, n2 = _emit_append(acc2, fill2, vals2,
-                                                       lens2)
-                tail = tail + (acc2, fill2)
-                ys = ys + tuple(slots2) + (n2.astype(jnp.int8),)
-        return new_carry + tail, ys if emit_words else out
+        return new_carry + tail, out
 
-    emit0 = (jnp.zeros((B,), jnp.uint32), zero) if emit_words else ()
     carry0 = lags0 + coef_cols0 + (jnp.int32(0),)
     if cost_params is not None:
         carry0 = carry0 + rice_mod._init_state(B, mb0_c) + (
-            jnp.zeros((B,), dtype=I32),) + emit0
+            jnp.zeros((B,), dtype=I32),)
         if dual_cost:
             carry0 = carry0 + (zero,) + rice_mod._init_state(B, mb0_c) + (
-                jnp.zeros((B,), dtype=I32),) + emit0
-    carry_out, out_ys = jax.lax.scan(step, carry0, x_sb, unroll=_unroll())
-    out_sb = out_ys[0] if emit_words else out_ys
+                jnp.zeros((B,), dtype=I32),)
+    carry_out, out_sb = jax.lax.scan(step, carry0, x_sb, unroll=_unroll())
     coefs_out = jnp.stack(carry_out[_W:_W + kALACMaxCoefs], axis=1)
     if cost_params is None:
         return out_sb, coefs_out
 
-    def flush(state, total, acc=None, fill=None):
+    def flush(state, total):
         # virtual end step: flush a pending zero-run token (t == S)
-        _, vals, lens = rice_mod._encode_step_tokens(
+        _, _, lens = rice_mod._encode_step_tokens(
             jnp.ones((B,), dtype=I32), jnp.int32(S), state, S=S,
             bit_size=chanbits, pb=pb_c, kb=kb_c, wb=wb_c)
-        total = total + lens[0] + lens[1] + lens[2]
-        if acc is None:
-            return total
-        acc, fill, slots, n = _emit_append(acc, fill, vals, lens)
-        tail_val = jnp.where(fill > 0, acc, jnp.uint32(0))
-        return total, slots, n, tail_val
+        return total + lens[0] + lens[1] + lens[2]
 
-    def bundle(slots_steps, cnt_steps, vslots, vcnt, tail_val):
-        # (S, B) per slot + virtual column -> (B, n_slots*(S+1)) in
-        # stream order, plus per-step emit counts (B, S+1)
-        cols = [jnp.concatenate([s, v[None, :]], axis=0)
-                for s, v in zip(slots_steps, vslots)]
-        slots = jnp.transpose(jnp.stack(cols, axis=-1),
-                              (1, 0, 2)).reshape(B, -1)
-        cnts = jnp.concatenate(
-            [cnt_steps, vcnt.astype(jnp.int8)[None, :]], axis=0).T
-        return slots, cnts, tail_val
-
-    p = nc + 6
-    if emit_words:
-        t1 = flush(carry_out[nc:nc + 5], carry_out[nc + 5],
-                   carry_out[p], carry_out[p + 1])
-        total, vslots1, vcnt1, tail1 = t1
-        em1 = bundle(out_ys[1:1 + n_slots], out_ys[1 + n_slots],
-                     vslots1, vcnt1, tail1)
-        p += 2
-    else:
-        total = flush(carry_out[nc:nc + 5], carry_out[nc + 5])
+    total = flush(carry_out[nc:nc + 5], carry_out[nc + 5])
     if not dual_cost:
-        if emit_words:
-            return out_sb, coefs_out, total, em1
         return out_sb, coefs_out, total
-    if emit_words:
-        total2, vslots2, vcnt2, tail2 = flush(
-            carry_out[p + 1:p + 6], carry_out[p + 6],
-            carry_out[p + 7], carry_out[p + 8])
-        em2 = bundle(out_ys[2 + n_slots:2 + 2 * n_slots],
-                     out_ys[2 + 2 * n_slots], vslots2, vcnt2, tail2)
-        return out_sb, coefs_out, total, total2, em1, em2
-    total2 = flush(carry_out[p + 1:p + 6], carry_out[p + 6])
+    total2 = flush(carry_out[nc + 7:nc + 12], carry_out[nc + 12])
     return out_sb, coefs_out, total, total2
 
 
@@ -345,26 +264,24 @@ def pc_block_cost(x, coefs0, numactive: int, chanbits: int, denshift: int,
 
 
 def pc_block_cost_coefs(x, coefs0, numactive: int, chanbits: int,
-                        denshift: int, mb0: int, pb: int, kb: int, wb: int,
-                        emit_words: bool = False):
+                        denshift: int, mb0: int, pb: int, kb: int, wb: int):
     """pc_block_cost that also returns the adapted coefficients (B, 16)
     (needed by the persistent-bank stream encoder, ALACEncoder.cpp's
-    mCoefsU/V members surviving across packets).  emit_words additionally
-    returns the phase-0 word emission bundle (see _scan_general)."""
+    mCoefsU/V members surviving across packets)."""
     from . import pallas as pallas_cfg
-    if (pallas_cfg.enabled() or numactive in (0, 31)) and not emit_words:
+    if pallas_cfg.enabled():
         from . import rice as rice_mod
         res, coefs = pc_block(x, coefs0, numactive, chanbits, denshift)
         return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb), coefs
-    assert numactive not in (0, 31) or not emit_words
     x = x.astype(I32)
-    r = _scan_general(
+    if numactive in (0, 31):
+        from . import rice as rice_mod
+        res, coefs = _run(x, coefs0, numactive, chanbits, denshift,
+                          decode=False)
+        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb), coefs
+    out_sb, coefs, cost = _scan_general(
         x.T, coefs0, numactive, chanbits, denshift, decode=False,
-        cost_params=(mb0, pb, kb, wb), emit_words=emit_words)
-    if emit_words:
-        out_sb, coefs, cost, em1 = r
-        return out_sb.T, cost, coefs, em1
-    out_sb, coefs, cost = r
+        cost_params=(mb0, pb, kb, wb))
     return out_sb.T, cost, coefs
 
 
@@ -378,8 +295,7 @@ def wrap_diff(res, chanbits: int):
 
 
 def pc_block_cost2(x, coefs0, numactive, chanbits: int, denshift: int,
-                   mb0: int, pb: int, kb: int, wb: int,
-                   emit_words: bool = False):
+                   mb0: int, pb: int, kb: int, wb: int):
     """Fused forward prediction + Rice cost of BOTH stage candidates.
 
     (B, S) samples -> (residuals (B, S), cost1 (B,), cost2 (B,),
@@ -397,20 +313,14 @@ def pc_block_cost2(x, coefs0, numactive, chanbits: int, denshift: int,
     from . import pallas as pallas_cfg
     x = x.astype(I32)
     static_na = isinstance(numactive, int)
-    if ((pallas_cfg.enabled() or (static_na and numactive in (0, 31)))
-            and not emit_words):
+    if pallas_cfg.enabled() or (static_na and numactive in (0, 31)):
         from . import rice as rice_mod
         res, coefs = pc_block(x, coefs0, numactive, chanbits, denshift)
         return (res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb),
                 rice_mod.rice_cost(wrap_diff(res, chanbits), chanbits,
                                    mb0, pb, kb, wb), coefs)
     na = numactive if static_na else numactive.astype(I32)
-    r = _scan_general(
+    out_sb, coefs, cost, cost2 = _scan_general(
         x.T, coefs0, na, chanbits, denshift, decode=False,
-        cost_params=(mb0, pb, kb, wb), dual_cost=True,
-        emit_words=emit_words)
-    if emit_words:
-        out_sb, coefs, cost, cost2, em1, em2 = r
-        return out_sb.T, cost, cost2, coefs, em1, em2
-    out_sb, coefs, cost, cost2 = r
+        cost_params=(mb0, pb, kb, wb), dual_cost=True)
     return out_sb.T, cost, cost2, coefs
