@@ -181,7 +181,8 @@ def _search_channels(streams, chanbits_list, config, banks=None):
             na = jnp.concatenate(
                 [jnp.full((W * B,), od, dtype=I32) for od in orders], axis=0)
             res_all, c1_all, c2_all, coefs_all = predict.pc_block_cost2(
-                xs, c0s, na, cb_all, DENSHIFT_DEFAULT, mb0, pb, kb, wb)
+                xs, c0s, na, cb_all, DENSHIFT_DEFAULT, mb0, pb, kb, wb,
+                na_max=max(orders))
 
     res_list, order_list, mode_list = [], [], []
     rice_list, coefs0_list, adapted_list = [], [], []

@@ -47,7 +47,8 @@ def _unroll() -> int:
 
 
 def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
-                  cost_params=None, dual_cost: bool = False):
+                  cost_params=None, dual_cost: bool = False,
+                  na_max: int | None = None):
     """Shared general-mode scan.  x_sb: (S, B) time-major input (samples on
     encode, residuals on decode).  Returns (out (S, B), coefs (B, 16)) or,
     with cost_params=(mb0, pb, kb, wb) on encode, (out, coefs, cost_bits):
@@ -73,7 +74,13 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
     lags0 = (zero,) * _W
     coef_cols0 = tuple(coefs0.astype(I32)[:, k] for k in range(kALACMaxCoefs))
 
-    nk = na if static_na else kALACMaxCoefs
+    # per-lane na: the tap loop and the ``top`` lag select only need to
+    # reach the static *maximum* order present (callers pass na_max; the
+    # encoder's search grid is orders {4, 8}, so 8 instead of 16 — the
+    # same specialization the fused decode scan applies via its na<=8
+    # branch).  Bit-identical: lanes never index past their own na.
+    nk = na if static_na else (na_max if na_max is not None
+                               else kALACMaxCoefs)
     if cost_params is not None:
         assert not decode
         from . import rice as rice_mod
@@ -96,7 +103,7 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
             in_warm = t <= na
         else:
             top = zero
-            for i in range(kALACMaxCoefs + 1):
+            for i in range(nk + 1):
                 top = jnp.where(na_v == i, lags[i], top)
             in_warm = t <= na_v
 
@@ -295,7 +302,8 @@ def wrap_diff(res, chanbits: int):
 
 
 def pc_block_cost2(x, coefs0, numactive, chanbits: int, denshift: int,
-                   mb0: int, pb: int, kb: int, wb: int):
+                   mb0: int, pb: int, kb: int, wb: int,
+                   na_max: int | None = None):
     """Fused forward prediction + Rice cost of BOTH stage candidates.
 
     (B, S) samples -> (residuals (B, S), cost1 (B,), cost2 (B,),
@@ -322,5 +330,5 @@ def pc_block_cost2(x, coefs0, numactive, chanbits: int, denshift: int,
     na = numactive if static_na else numactive.astype(I32)
     out_sb, coefs, cost, cost2 = _scan_general(
         x.T, coefs0, na, chanbits, denshift, decode=False,
-        cost_params=(mb0, pb, kb, wb), dual_cost=True)
+        cost_params=(mb0, pb, kb, wb), dual_cost=True, na_max=na_max)
     return out_sb.T, cost, cost2, coefs
