@@ -14,12 +14,19 @@ reconstructed sample.  Consequences:
     the (B, S) result is a reshape — the zero-run scatter disappears;
   * the intermediate residual array never exists.
 
-Bit reads: substeps share the 24-word block cache of rice_decode_impl,
-but each substep performs ONE relative-index window fetch (4 consecutive
+Bit reads: substeps share a sliding block cache refilled by ONE 8-word
+row gather per scan step (per-lane dynamic gathers cost ~2 elements per
+cycle on TPU, so gathered words are the scan's dominant cost — the
+fixed-rate single-row refill halved the measured scan time vs fetching
+the worst-case two rows).  One row per step sustains 256/G bits per
+sample, above the largest legal codeword (8+1+kb compressed, 9+chanbits
+escape), so the cursor can only outrun the prefetch through the
+adversarial zero-length-run pattern; a per-step drift check flags such
+lanes with the error bit and the host re-decodes them on the oracle.
+Each substep performs ONE relative-index window fetch (4 consecutive
 cache words cover the worst case: residual codeword 9+32 plus zero-run
 codeword 9+16 from a phase <= 31 start), and all field extractions are
-cheap static selects within that window — half the select-chain work of
-the unfused decoder's four independent cache reads.
+cheap static selects within that window.
 
 Zero runs are consumed one sample per substep (a ``run_rem`` counter)
 instead of jumping the sample cursor: the FIR recurrence must still run
@@ -44,13 +51,11 @@ from ..types import (
 from .jaxutils import I32, U32, clz32, iota1, lg3a, sign_extend, sign_of_int
 
 _U32_ONE = np.uint32(1)
-_CACHE_WORDS = 24
-_MAX_REL = 20
 _W = kALACMaxCoefs + 1  # predictor lags
 _N_RICE = 7             # rice-state slots in the carry
 
 
-def _fetch_window4(blk, rel, max_rel=_MAX_REL):
+def _fetch_window4(blk, rel, max_rel):
     """Select 4 consecutive cache words starting at ``rel`` (0..max_rel).
 
     One select serves every bit read of a substep.  ``max_rel`` is the
@@ -100,12 +105,14 @@ def _win_bits(ws, off, nbits):
 
 
 def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
-                  pb_v, kb, wb, zero):
+                  pb_v, kb, wb, zero, rel0, cache_words):
     """One Rice-cursor substep of the fused decode scan: decodes one residual codeword (or consumes one
     pending zero-run sample) and advances (bitpos, mb, zmode, run_rem,
     c, err).  ``chanbits`` may be per-lane (B,) (stacked channels of
     mixed SCE/CPE elements); ``chanbits_max`` is its static bound
-    (sizes the window reach).
+    (sizes the window reach).  ``rel0`` is the static bound on the
+    cursor's cache-relative word index at substep 0 (the refill's drift
+    budget); ``cache_words`` the cache size.
 
     Returns (new_state, res (B,) i32 raw residual, active, decode_now,
     window ws) — the window is reused by callers for extra reads.
@@ -117,10 +124,10 @@ def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
     in_run = run_rem > 0
     decode_now = active & ~in_run
 
-    # substep g's cursor sits < 8 words past the refill base plus at
+    # substep g's cursor sits <= rel0 words past the refill base plus at
     # most g*max_adv bits: early substeps get short select chains
     off0 = bitpos - blk_base * 32
-    max_rel = min(_MAX_REL, 7 + (g * max_adv + 31) // 32)
+    max_rel = min(cache_words - 4, rel0 + (g * max_adv + 31) // 32)
     ws = _fetch_window4(blk, (off0 >> 5).astype(I32), max_rel)
     woff = (off0 & 31).astype(I32)
 
@@ -235,15 +242,26 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
     # it; results are bit-identical at any G (the cache just refills
     # more often), and TPU keeps the G=8 throughput sweet spot.
     import os
-    g_cap = int(os.environ.get("ALACJAX_DECODE_G", "8"))
-    G = max(1, min(g_cap, 416 // max_adv))
+    G = max(1, int(os.environ.get("ALACJAX_DECODE_G", "8")))
     n_steps = -(-S // G)
+
+    # refill geometry: r rows of 8 words prefetched per step must sustain
+    # the largest legal codeword per substep (see module docstring); the
+    # drift budget rel0 tolerates one extra row of burst before the
+    # underrun check trips
+    max_codeword = max(MAX_PREFIX_32 - 1 + 1 + kb, MAX_PREFIX_32 + cb_max)
+    r_rows = -(-G * max_codeword // 256)
+    rel0 = 8 * (r_rows + 1)
+    max_w = (G * max_adv + 31) // 32
+    cache_words = -(-(rel0 + max_w + 4) // 8) * 8
+    n_rows = cache_words // 8
 
     fetch_row = _make_cache(words, B)
     start_bits = jnp.asarray(start_bits, I32)
     base0 = (start_bits >> 5) & ~jnp.int32(7)
-    blk0 = fetch_row(base0 >> 3) + fetch_row((base0 >> 3) + 1) \
-        + fetch_row((base0 >> 3) + 2)
+    blk0 = ()
+    for i in range(n_rows):
+        blk0 = blk0 + fetch_row((base0 >> 3) + i)
 
     pb_v = jnp.asarray(pb, dtype=U32)
     zero = jnp.zeros((B,), dtype=I32)
@@ -267,7 +285,8 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
         # ---- rice codeword decode (shared cursor arithmetic) ----
         st2, res, active = _rice_substep(
             st, blk, blk_base, g, S=S, chanbits=chanbits,
-            chanbits_max=cb_max, pb_v=pb_v, kb=kb, wb=wb, zero=zero)
+            chanbits_max=cb_max, pb_v=pb_v, kb=kb, wb=wb, zero=zero,
+            rel0=rel0, cache_words=cache_words)
 
         # ---- fused predictor (dp_dec.c :: unpc_block + mode-31 stage) ----
         s1_acc2 = jnp.where(active, s1_acc + res, s1_acc)
@@ -321,22 +340,28 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
         def step(carry, _):
             st = carry[:_N_RICE - 1]
             blk_base = carry[_N_RICE - 1]
-            blk = carry[_N_RICE: _N_RICE + _CACHE_WORDS]
-            pred_st = carry[_N_RICE + _CACHE_WORDS:]
+            blk = carry[_N_RICE: _N_RICE + cache_words]
+            pred_st = carry[_N_RICE + cache_words:]
             outs = []
             for g in range(G):
                 st, pred_st, out = substep(st, pred_st, blk, blk_base, g, nk)
                 outs.append(out)
-            # refill cache: keep the cursor's row in the low third
+            # fixed-rate refill: fetch r_rows new rows, shift by at most
+            # r_rows; lanes whose cursor drifted past the rel0 budget
+            # (only possible via the adversarial zero-length-run pattern)
+            # get the error flag and re-decode on the host oracle
             rel = (st[0] >> 5) - blk_base
-            kshift = jnp.clip(rel >> 3, 0, 2)
-            ext = blk + fetch_row((blk_base >> 3) + 3) + fetch_row(
-                (blk_base >> 3) + 4)
+            kshift = jnp.clip(rel >> 3, 0, r_rows)
+            underrun = (rel - 8 * kshift) > rel0
+            st = st[:5] + (st[5] | underrun,)
+            ext = blk
+            for j in range(r_rows):
+                ext = ext + fetch_row((blk_base >> 3) + n_rows + j)
             blk2 = []
-            for i in range(_CACHE_WORDS):
+            for i in range(cache_words):
                 w = ext[i]
-                w = jnp.where(kshift == 1, ext[i + 8], w)
-                w = jnp.where(kshift == 2, ext[i + 16], w)
+                for ks in range(1, r_rows + 1):
+                    w = jnp.where(kshift == ks, ext[i + 8 * ks], w)
                 blk2.append(w)
             return (st + (blk_base + 8 * kshift,) + tuple(blk2) + pred_st,
                     tuple(outs))
