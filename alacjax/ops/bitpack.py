@@ -285,8 +285,9 @@ def merge_sorted_chunks(vals, keys, tail_vals, tail_keys, num_words: int,
     else:
         nonempty = k != jnp.uint32(0xFFFFFFFF)
         j = iota1(T, I32)[None, :]
-        c_ex = jnp.cumsum(nonempty.astype(I32), axis=1) - nonempty
-        rem = jnp.where(nonempty, j - c_ex, 0)
+        # rank == key under the invariant above (the i-th non-empty slot
+        # holds exactly word i), so no prefix count is needed
+        rem = jnp.where(nonempty, j - k.astype(I32), 0)
         val = jnp.where(nonempty, val, 0)
 
         R = 1 << radix_bits

@@ -46,22 +46,13 @@ def _shift_left(x, p: int, fill):
 def _merge_kernel(vals_ref, keys_ref, out_ref, *, T: int, W: int):
     keys = keys_ref[:]
     nonempty = keys != _INF
-    ne = jnp.where(nonempty, jnp.int32(1), 0)
 
-    # inclusive prefix count along the slot axis (log-doubling in VMEM)
-    c = ne
-    p = 1
-    while p < T:
-        # c[:, j] += c[:, j-p]  (shift right by p)
-        R = c.shape[0]
-        shifted = jnp.concatenate(
-            [jnp.zeros((R, p), dtype=c.dtype), c[:, :-p]], axis=1)
-        c = c + shifted
-        p <<= 1
-    c_ex = c - ne
-
+    # the merge invariant (bitpack.merge_sorted_chunks) says the i-th
+    # non-empty slot holds exactly word i, and keys ARE the output word
+    # indices — so each element's rank is its key and the displacement
+    # needs no prefix-count pass (which used to be half the kernel)
     j = jax.lax.broadcasted_iota(I32, keys.shape, 1)
-    rem = jnp.where(nonempty, j - c_ex, 0)
+    rem = jnp.where(nonempty, j - keys.astype(I32), 0)
     val = jnp.where(nonempty, vals_ref[:], jnp.uint32(0))
 
     # LSB-first radix-2 shuffle, entirely in VMEM
