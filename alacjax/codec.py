@@ -295,7 +295,7 @@ def _emit_block(fields, d: int, start_bits):
 
 
 def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
-                          banks=None):
+                          banks=None, stop_at: str | None = None):
     """Packet assembly without any large scatter, all configs.
 
     Every stream's absolute bit offset is computable before emission
@@ -360,6 +360,9 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             e["mixres_win"] = jnp.zeros((B,), dtype=I32)
             e["streams"] = [e["his"][0]]
 
+    if stop_at == "mix":  # profiling truncation (prof_trunc.py)
+        return [e["streams"] for e in elems]
+
     # ---- pass 1c: ONE stacked search over every channel of the packet ----
     all_streams, all_cb, all_banks = [], [], []
     for e in elems:
@@ -412,6 +415,9 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         start = start + e["elem_bits"]
     total_c = start
 
+    if stop_at == "search":  # profiling truncation (prof_trunc.py)
+        return ([e["res_win"] for e in elems], total_c)
+
     # ---- pass 2a: ONE stacked Rice emission over every channel ----
     # (absolute start offsets are closed-form in the search results)
     rice_feed, rice_starts, rice_cb = [], [], []
@@ -434,6 +440,9 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             jnp.concatenate(rice_feed, axis=0), cb_arg, mb0, pb, kb, wb,
             jnp.concatenate(rice_starts, axis=0), bit_size_cap=max(rice_cb),
             emit_flush=False)
+
+    if stop_at == "rice":  # profiling truncation (prof_trunc.py)
+        return (cw_all, ck_all, ctv_all, ctk_all, total_c)
 
     # ---- pass 2b: emission ----
     # Big chunk arrays carry only COMPLETE words (strictly increasing
@@ -530,6 +539,8 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
 
     vals = jnp.concatenate(all_vals, axis=1)
     keys = jnp.concatenate(all_keys, axis=1)
+    if stop_at == "assemble":  # profiling truncation (prof_trunc.py)
+        return (vals, keys, tail_v, tail_k, total_bits)
     with jax.named_scope("alacjax.merge_chunks"):
         words = bitpack.merge_sorted_chunks(
             vals, keys, jnp.stack(tail_v, axis=1), jnp.stack(tail_k, axis=1),
@@ -554,11 +565,12 @@ def encode_frames_jit(pcm, config: AlacConfig, num_words: int):
     return encode_frames_device(pcm, config=config, num_words=num_words)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "num_samples"))
-def decode_frames_jit(words, config: AlacConfig, num_samples: int):
+@functools.partial(jax.jit, static_argnames=("config", "num_samples", "taps"))
+def decode_frames_jit(words, config: AlacConfig, num_samples: int,
+                      taps: int | None = 8):
     """Single module-level jit entry for decode (static config)."""
     return decode_frames_device(words, config=config,
-                                num_samples=num_samples)
+                                num_samples=num_samples, taps=taps)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "num_words"))
@@ -627,6 +639,76 @@ def _extract_samples(words, base_bits, count: int, stride_bits, width_bits):
                            if hasattr(width_bits, "ndim") else width_bits)
 
 
+def _sfield(words, off: int, n: int):
+    """(B,) n-bit field at a STATIC bit offset: pure column slices and
+    constant shifts — no gather.  Usable whenever the element starts at
+    bit 0 (single-element packets, the decode fast path)."""
+    i, ph = off >> 5, off & 31
+    a = words[:, i]
+    if ph + n > 32:
+        a = jnp.left_shift(a, ph) | jnp.right_shift(words[:, i + 1], 32 - ph)
+        return jnp.right_shift(a, 32 - n)
+    return jnp.right_shift(a, 32 - ph - n) & jnp.uint32((1 << n) - 1)
+
+
+def _parse_ph(ph):
+    """Split a 16-bit channel-param header into (mode, den, pbf, order)."""
+    mode = (ph >> 12).astype(I32) & 0xF
+    den = ((ph >> 8) & 0xF).astype(I32)
+    pbf = ((ph >> 5) & 0x7).astype(I32)
+    order = (ph & 0x1F).astype(I32)
+    perr = ((order > kALACMaxCoefs) & (order != 31)) | (
+        (den == 0) & (order != 0) & (order != 31))
+    return (mode, den, pbf, order), perr
+
+
+def _decode_params_static(words, is_cpe: bool):
+    """Header/param parse for single-element packets WITHOUT gathers.
+
+    The element header, mix token, and channel-0 params sit at static
+    bit offsets; channel 1's offset depends only on order0 (5 bits, 18
+    legal values), so its 17 fields come from a static 16-bit-stride
+    field table selected per lane by order0 — ~300 cheap (B,) selects
+    replace the ~10 ms of per-lane gathers the generic path pays
+    (measured by prof_trunc.py).  Returns (params list, end_bits of the
+    non-escape header, err)."""
+    c_ph0 = 23 + (16 if is_cpe else 0)
+    # deepest static read: ch1's field table at order0 up to 31
+    deep = c_ph0 + 16 + 16 * ((47 if is_cpe else kALACMaxCoefs) + 1)
+    need = deep // 32 + 2
+    if words.shape[1] < need:
+        words = jnp.pad(words, ((0, 0), (0, need - words.shape[1])))
+    ph0 = _sfield(words, c_ph0, 16)
+    (mode0, den0, pbf0, order0), perr = _parse_ph(ph0)
+    coefs0 = sign_extend(jnp.stack(
+        [_sfield(words, c_ph0 + 16 + 16 * j, 16)
+         for j in range(kALACMaxCoefs)], axis=1).astype(I32), 16)
+    params = [(mode0, den0, pbf0, order0, coefs0)]
+    end = c_ph0 + 16 + 16 * order0
+    if is_cpe:
+        # field table H[m] = 16 bits at c_ph0+16+16m; ph1 = H[order0],
+        # coefs1[j] = H[order0+1+j] (order0 <= 16, or the 31-tap mode)
+        o_vals = list(range(kALACMaxCoefs + 1)) + [31]
+        H = [_sfield(words, c_ph0 + 16 + 16 * m, 16)
+             for m in range(max(o_vals) + 1 + kALACMaxCoefs + 1)]
+
+        def sel(fn):
+            out = fn(o_vals[0])
+            for ov in o_vals[1:]:
+                out = jnp.where(order0 == ov, fn(ov), out)
+            return out
+
+        ph1 = sel(lambda ov: H[ov])
+        (mode1, den1, pbf1, order1), perr1 = _parse_ph(ph1)
+        perr = perr | perr1
+        coefs1 = sign_extend(jnp.stack(
+            [sel(lambda ov, j=j: H[ov + 1 + j])
+             for j in range(kALACMaxCoefs)], axis=1).astype(I32), 16)
+        params.append((mode1, den1, pbf1, order1, coefs1))
+        end = end + 16 + 16 * order1
+    return params, end, perr
+
+
 def _decode_channel_params(words, bitpos):
     ph = rice._read_bits(words, bitpos, 16)
     mode = (ph >> 12) & 0xF
@@ -663,8 +745,21 @@ def _unescape_words16(words, nch: int, S: int):
     return [f]
 
 
-def decode_frames_device(words, config: AlacConfig, num_samples: int):
-    """Jit core: (B, W) word image -> ((B, C, S) pcm, (B,) err flags)."""
+def decode_frames_device(words, config: AlacConfig, num_samples: int,
+                         stop_at: str | None = None,
+                         taps: int | None = 8):
+    """Jit core: (B, W) word image -> ((B, C, S) pcm, (B,) err flags).
+
+    taps statically specializes the fused scan's FIR body (see
+    fused_decode.decode_channel): the production program compiles ONLY
+    the 8-tap walk; lanes carrying 9..16-tap streams flag err and the
+    host re-runs them through a lazily compiled taps=16 program
+    (JaxCodec.decode_frames) — halves the XLA compile time of the
+    common program.
+
+    stop_at truncates the program for in-context profiling
+    (prof_trunc.py): "params" stops after header/param parsing,
+    "scan" after the fused scans, "nounesc" skips escape extraction."""
     B = words.shape[0]
     S = num_samples
     depth = config.bit_depth
@@ -676,9 +771,14 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
     bitpos = jnp.zeros((B,), dtype=I32)
     err = jnp.zeros((B,), dtype=bool)
 
+    # single-element packets start at bit 0: every header field is at a
+    # static (or order0-determined) offset — parse without gathers
+    fast_hdr = len(config.elements) == 1
+
     for tag, width in config.elements:
         is_cpe = width == 2
-        hdr = rice._read_bits(words, bitpos, 23)
+        hdr = (_sfield(words, 0, 23) if fast_hdr
+               else rice._read_bits(words, bitpos, 23))
         rtag = (hdr >> 20).astype(I32)
         unused = (hdr >> 4) & 0xFFF
         partial = (hdr >> 3) & 1
@@ -697,7 +797,8 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
         chanbits = depth - 8 * bs + (1 if is_cpe else 0)
 
         if is_cpe:
-            mixtok = rice._read_bits(words, bitpos, 16)
+            mixtok = (_sfield(words, 23, 16) if fast_hdr
+                      else rice._read_bits(words, bitpos, 16))
             mixbits_f = (mixtok >> 8).astype(I32)
             mixres_f = sign_extend((mixtok & 0xFF).astype(I32), 8)
             bitpos = bitpos + jnp.where(esc, 0, 16)
@@ -705,16 +806,24 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
             mixbits_f = jnp.where(esc, 0, mixbits_f)
             mixres_f = jnp.where(esc, 0, mixres_f)
 
-        params = []
-        for _ in range(width):
-            p, bitpos_n, perr = _decode_channel_params(words, bitpos)
-            bitpos = jnp.where(esc, bitpos, bitpos_n)
+        if fast_hdr:
+            params, end_nonesc, perr = _decode_params_static(words, is_cpe)
             err = err | (~esc & perr)
-            params.append(p)
+            bitpos = jnp.where(esc, pos_esc, end_nonesc)
+        else:
+            params = []
+            for _ in range(width):
+                p, bitpos_n, perr = _decode_channel_params(words, bitpos)
+                bitpos = jnp.where(esc, bitpos, bitpos_n)
+                err = err | (~esc & perr)
+                params.append(p)
 
         pos_shift = bitpos
         shift_bits_total = width * S * 8 * bs
         bitpos = bitpos + jnp.where(esc, 0, shift_bits_total)
+
+        if stop_at == "params":  # profiling truncation
+            return params, (bitpos, err)
 
         recon = []
         all_esc = jnp.all(esc)
@@ -734,10 +843,13 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
                              jnp.zeros((B,), bool)),
                     lambda: fused_decode.decode_channel(
                         words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
-                        coefs, mode, order, den))
+                        coefs, mode, order, den, taps=taps))
             bitpos = jnp.where(esc, bitpos, bitpos_n)
             err = err | (~esc & rerr)
             recon.append(samples)
+
+        if stop_at == "scan":  # profiling truncation
+            return recon, (bitpos, err)
 
         # shift side-channel re-insert (static: absent when bs == 0)
         if bs:
@@ -759,6 +871,10 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int):
 
         # escape lanes: raw samples at static stride from pos_esc
         esc_end = pos_esc + width * S * depth
+        if stop_at == "nounesc":  # profiling truncation
+            out_ch.extend(dec)
+            bitpos = jnp.where(esc, esc_end, bitpos)
+            continue
         if _fast_path_ok(config):
             # single element at bit 0: field offsets are static -> sliced
             raws = _unescape_words16(words, width, S)
@@ -807,11 +923,13 @@ class JaxCodec:
             "enc", lambda p: encode_frames_device(p, config=cfg,
                                                   num_words=nw), pcm)
 
-    def _decode(self, words):
+    def _decode(self, words, taps: int = 8):
         cfg = self.config
         return self._aot(
-            "dec", lambda w: decode_frames_device(w, config=cfg,
-                                                  num_samples=cfg.frame_length),
+            "dec%d" % taps,
+            lambda w: decode_frames_device(w, config=cfg,
+                                           num_samples=cfg.frame_length,
+                                           taps=taps),
             words)
 
     # -- encode ---------------------------------------------------------
@@ -842,10 +960,23 @@ class JaxCodec:
             n = len(blk)
             padded = blk + [b""] * (self.chunk - n)
             words = bitpack.bytes_to_words(padded, self.num_words)
-            pcm, err = self._decode(jnp.asarray(words))
+            wdev = jnp.asarray(words)
+            pcm, err = self._decode(wdev)
             pcm = np.asarray(pcm)[:n]
             err = np.asarray(err)[:n]
             out[off:off + n] = pcm
+            if err.any():
+                # widespread errors usually mean a legal 9..16-tap stream
+                # (the production program compiles only the 8-tap FIR
+                # body); re-run through the lazily compiled 16-tap
+                # program before paying the scalar-oracle cliff.  The
+                # threshold keeps corruption fuzzing (a few bad lanes)
+                # from triggering a pointless compile.
+                if err.sum() * 4 >= n and n >= 64:
+                    pcm16, err16 = self._decode(wdev, taps=16)
+                    fixed = err & ~np.asarray(err16)[:n]
+                    out[off:off + n][fixed] = np.asarray(pcm16)[:n][fixed]
+                    err = err & ~fixed
             if err.any():
                 dec = OracleDecoder(cfg)
                 for i in np.nonzero(err)[0]:

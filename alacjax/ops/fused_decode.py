@@ -222,7 +222,8 @@ def _make_cache(words, B):
 def decode_channel(words, start_bits, num_samples: int, chanbits,
                    mb0: int, pb, kb: int, wb: int,
                    coefs0, mode, numactive, denshift,
-                   chanbits_max: int = None):
+                   chanbits_max: int = None, taps: int | None = None,
+                   raw: bool = False):
     """Decode + reconstruct one channel: (B, W) words -> (B, S) samples.
 
     start_bits/pb/coefs0/mode/numactive/denshift are per-lane; chanbits
@@ -230,6 +231,18 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
     channels across SCE/CPE elements), with ``chanbits_max`` its static
     bound.  Returns (samples (B, S) i32, end_bits (B,) i32,
     error (B,) bool).
+
+    ``taps`` specializes the FIR body statically: taps=8 compiles ONLY
+    the 8-tap walk (lanes with 8 < numactive <= 16 get the error flag —
+    the codec re-runs them through a lazily compiled taps=16 program);
+    taps=16 compiles only the full walk; None keeps both under a runtime
+    lax.cond (tests / unfused paths).  Compiling one body instead of two
+    roughly halves the decode program's XLA compile time.
+
+    ``raw=True`` returns the signed residual stream (exactly what the
+    oracle's ag.dyn_decomp emits) instead of reconstructed samples —
+    the residual-only mode behind rice.rice_decode, so the device tree
+    has exactly ONE Rice cursor state machine.
     """
     B, W = words.shape
     S = num_samples
@@ -287,6 +300,10 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
             st, blk, blk_base, g, S=S, chanbits=chanbits,
             chanbits_max=cb_max, pb_v=pb_v, kb=kb, wb=wb, zero=zero,
             rel0=rel0, cache_words=cache_words)
+        if raw:
+            # residual-only mode (rice.rice_decode): the signed deltas
+            # ARE dyn_decomp's output; skip reconstruction entirely
+            return st2, pred_st, res
 
         # ---- fused predictor (dp_dec.c :: unpc_block + mode-31 stage) ----
         s1_acc2 = jnp.where(active, s1_acc + res, s1_acc)
@@ -386,8 +403,13 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
         return go
 
     # our encoder (and the reference's) emits orders 4/8 plus the 0/31
-    # special modes; specialize the scan for na <= 8 via a runtime branch
-    # (both variants compile once, typical batches run the 8-tap body)
+    # special modes; the 8-tap body is the production one
+    if taps == 8:
+        samples, end_bits, err = run(8)()
+        big = (na > 8) & (na != 31)
+        return samples, end_bits, err | big
+    if taps is not None:
+        return run(min(taps, kALACMaxCoefs))()
     small = jnp.all((na <= 8) | (na == 31))
     samples, end_bits, err = jax.lax.cond(
         small, run(8), run(kALACMaxCoefs))

@@ -384,11 +384,18 @@ def rice_decode(words, start_bits, num_samples: int, bit_size,
     max_bit_size: static upper bound on it (sizes the per-step group).
     Returns (residuals (B, S) i32, end_bits (B,), error (B,) bool).
 
-    Implementation: grouped block-cache scan (see rice_decode_impl) —
-    per-lane gathers are the expensive primitive on TPU, so G samples
-    decode per scan step out of a 24-word carried cache refilled by two
-    aligned row gathers per step.
+    Implementation: the fused decode kernel's residual-only mode
+    (fused_decode.decode_channel(raw=True)) — ONE Rice cursor state
+    machine serves both the production decode and this unfused API.
     """
-    from .rice_decode_impl import decode_scan
-    return decode_scan(words, start_bits, num_samples, bit_size,
-                       mb0, pb, kb, wb, max_bit_size)
+    from . import fused_decode
+    B = words.shape[0]
+    zeros = jnp.zeros((B,), I32)
+    coefs0 = jnp.zeros((B, 16), I32)
+    return fused_decode.decode_channel(
+        words, start_bits, num_samples, bit_size, mb0,
+        jnp.broadcast_to(jnp.asarray(pb, U32), (B,)), kb, wb,
+        coefs0, zeros, zeros, zeros + 1,
+        chanbits_max=(max_bit_size if not isinstance(bit_size, int)
+                      else None),
+        taps=8, raw=True)
