@@ -825,28 +825,38 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
         if stop_at == "params":  # profiling truncation
             return params, (bitpos, err)
 
-        recon = []
         all_esc = jnp.all(esc)
-        for ci in range(width):
-            mode, den, pbf, order, coefs = params[ci]
-            pb_lane = (config.pb * pbf) // 4
-            # escape lanes carry garbage header fields (their decode is
-            # masked out); normalize the order so they can't force the
-            # fused scan off its order<=8 fast branch
-            order = jnp.where(esc, 0, order)
-            with jax.named_scope("alacjax.fused_decode"):
-                # when the whole batch escaped (noise content), the Rice
-                # streams don't exist — skip the scan at runtime
-                samples, bitpos_n, rerr = jax.lax.cond(
-                    all_esc,
-                    lambda: (jnp.zeros((B, S), I32), bitpos,
-                             jnp.zeros((B,), bool)),
-                    lambda: fused_decode.decode_channel(
+
+        def run_scans(bitpos=bitpos):
+            outs = []
+            rerr_acc = jnp.zeros((B,), bool)
+            for ci in range(width):
+                mode, den, pbf, order, coefs = params[ci]
+                pb_lane = (config.pb * pbf) // 4
+                # escape lanes carry garbage header fields (their decode
+                # is masked out); normalize the order so they can't
+                # force the fused scan off its order<=8 fast branch
+                order = jnp.where(esc, 0, order)
+                with jax.named_scope("alacjax.fused_decode"):
+                    samples, bitpos_n, rerr = fused_decode.decode_channel(
                         words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
-                        coefs, mode, order, den, taps=taps))
-            bitpos = jnp.where(esc, bitpos, bitpos_n)
-            err = err | (~esc & rerr)
-            recon.append(samples)
+                        coefs, mode, order, den, taps=taps)
+                bitpos = jnp.where(esc, bitpos, bitpos_n)
+                rerr_acc = rerr_acc | (~esc & rerr)
+                outs.append(samples)
+            return tuple(outs) + (bitpos, rerr_acc)
+
+        def skip_scans():
+            return tuple(jnp.zeros((B, S), I32) for _ in range(width)) + (
+                bitpos, jnp.zeros((B,), bool))
+
+        # when the whole batch escaped (noise content), the Rice streams
+        # don't exist — ONE runtime cond skips every scan of the element
+        # (hoisted from per-channel: each cond dispatch costs ~2 ms)
+        res_t = jax.lax.cond(all_esc, skip_scans, run_scans)
+        recon = list(res_t[:width])
+        bitpos = res_t[width]
+        err = err | res_t[width + 1]
 
         if stop_at == "scan":  # profiling truncation
             return recon, (bitpos, err)
