@@ -491,39 +491,55 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         vals_c = jnp.concatenate(seg_v, axis=1)
         keys_c = jnp.concatenate(seg_k, axis=1)
 
-        # escape stream: 23-bit header + raw samples at full depth
-        ehv = [jnp.full((B, 1), _header23(e["tag"], e["instance"], 0, True),
-                        dtype=U32)]
-        ehl = [jnp.full((B, 1), 23, I32)]
-        ew, ek, epos, etv, etk = _emit_header(ehv, ehl, e["start"], 23)
-        raw = (_interleave2(e["chans"][0], e["chans"][1]) if is_cpe
-               else e["chans"][0])
-        rw, rk, _, rtv, rtk = _emit_block(raw.astype(U32), depth, epos)
-        vals_e = jnp.concatenate([ew, rw], axis=1)
-        keys_e = jnp.concatenate([ek, rk], axis=1)
-        tv_e, tk_e = [etv, rtv], [etk, rtk]
+        # escape stream: 23-bit header + raw samples at full depth.
+        # Packing the (B, width*S) raw fields + the pad/select costs
+        # several ms and is wasted on every batch where nothing escaped
+        # (typical music), so the whole build runs under a runtime cond.
+        def esc_stream():
+            ehv = [jnp.full((B, 1),
+                            _header23(e["tag"], e["instance"], 0, True),
+                            dtype=U32)]
+            ehl = [jnp.full((B, 1), 23, I32)]
+            ew, ek, epos, etv, etk = _emit_header(ehv, ehl, e["start"], 23)
+            raw = (_interleave2(e["chans"][0], e["chans"][1]) if is_cpe
+                   else e["chans"][0])
+            rw, rk, _, rtv, rtk = _emit_block(raw.astype(U32), depth, epos)
+            return (jnp.concatenate([ew, rw], axis=1),
+                    jnp.concatenate([ek, rk], axis=1),
+                    (etv, rtv), (etk, rtk))
 
-        # per-lane select; pad the (always smaller) escape stream
-        pad = vals_c.shape[1] - vals_e.shape[1]
-        if pad < 0:
-            vals_c = jnp.pad(vals_c, ((0, 0), (0, -pad)))
-            keys_c = jnp.pad(keys_c, ((0, 0), (0, -pad)),
-                             constant_values=np.uint32(0xFFFFFFFF))
-            pad = 0
-        vals_e = jnp.pad(vals_e, ((0, 0), (0, pad)))
-        keys_e = jnp.pad(keys_e, ((0, 0), (0, pad)),
-                         constant_values=np.uint32(0xFFFFFFFF))
+        Te = jax.eval_shape(esc_stream)[0].shape[1]
+        T_el = max(vals_c.shape[1], Te)
+        n_t = len(tv_c)
         ue = e["use_escape"][:, None]
-        all_vals.append(jnp.where(ue, vals_e, vals_c))
-        all_keys.append(jnp.where(ue, keys_e, keys_c))
-        # select tails per lane too (pad variant lists to equal length)
-        while len(tv_e) < len(tv_c):
-            tv_e.append(jnp.zeros((B,), U32))
-            tk_e.append(jnp.full((B,), 0xFFFFFFFF, U32))
         ue1 = e["use_escape"]
-        for a_v, a_k, b_v, b_k in zip(tv_c, tk_c, tv_e, tk_e):
-            tail_v.append(jnp.where(ue1, b_v, a_v))
-            tail_k.append(jnp.where(ue1, b_k, a_k))
+
+        def pad_to(v, k, T):
+            return (jnp.pad(v, ((0, 0), (0, T - v.shape[1]))),
+                    jnp.pad(k, ((0, 0), (0, T - k.shape[1])),
+                            constant_values=np.uint32(0xFFFFFFFF)))
+
+        def with_escape():
+            vals_e, keys_e, tv_e, tk_e = esc_stream()
+            vc, kc = pad_to(vals_c, keys_c, T_el)
+            ve, ke = pad_to(vals_e, keys_e, T_el)
+            tv_e = list(tv_e) + [jnp.zeros((B,), U32)] * (n_t - 2)
+            tk_e = list(tk_e) + [jnp.full((B,), 0xFFFFFFFF, U32)] * (n_t - 2)
+            tv = [jnp.where(ue1, b, a) for a, b in zip(tv_c, tv_e)]
+            tk = [jnp.where(ue1, b, a) for a, b in zip(tk_c, tk_e)]
+            return (jnp.where(ue, ve, vc), jnp.where(ue, ke, kc),
+                    jnp.stack(tv), jnp.stack(tk))
+
+        def without_escape():
+            vc, kc = pad_to(vals_c, keys_c, T_el)
+            return vc, kc, jnp.stack(tv_c), jnp.stack(tk_c)
+
+        av, ak, tvs, tks = jax.lax.cond(
+            jnp.any(ue1), with_escape, without_escape)
+        all_vals.append(av)
+        all_keys.append(ak)
+        tail_v.extend(tvs[i] for i in range(n_t))
+        tail_k.extend(tks[i] for i in range(n_t))
 
     # ---- END tag (3 bits) at the known end position: pure tails ----
     phase = (total_c & 31).astype(U32)
@@ -885,16 +901,23 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
             out_ch.extend(dec)
             bitpos = jnp.where(esc, esc_end, bitpos)
             continue
-        if _fast_path_ok(config):
-            # single element at bit 0: field offsets are static -> sliced
-            raws = _unescape_words16(words, width, S)
-        else:
-            raws = [sign_extend(
-                _extract_samples(words, pos_esc + ci * depth, S,
-                                 width * depth, depth).astype(I32), depth)
-                for ci in range(width)]
-        for ci in range(width):
-            out_ch.append(jnp.where(esc[:, None], raws[ci], dec[ci]))
+
+        def with_unesc():
+            if _fast_path_ok(config):
+                # single element at bit 0: field offsets are static ->
+                # sliced
+                raws = _unescape_words16(words, width, S)
+            else:
+                raws = [sign_extend(
+                    _extract_samples(words, pos_esc + ci * depth, S,
+                                     width * depth, depth).astype(I32),
+                    depth) for ci in range(width)]
+            return tuple(jnp.where(esc[:, None], raws[ci], dec[ci])
+                         for ci in range(width))
+
+        # raw-sample extraction only matters if some lane escaped
+        out_ch.extend(jax.lax.cond(jnp.any(esc), with_unesc,
+                                   lambda: tuple(dec)))
         bitpos = jnp.where(esc, esc_end, bitpos)
 
     pcm = jnp.stack(out_ch, axis=1)
