@@ -786,6 +786,7 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
     out_ch = []
     bitpos = jnp.zeros((B,), dtype=I32)
     err = jnp.zeros((B,), dtype=bool)
+    num = None  # per-lane decoded sample count (partial/tail frames)
 
     # single-element packets start at bit 0: every header field is at a
     # static (or order0-determined) offset — parse without gathers
@@ -797,7 +798,7 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
                else rice._read_bits(words, bitpos, 23))
         rtag = (hdr >> 20).astype(I32)
         unused = (hdr >> 4) & 0xFFF
-        partial = (hdr >> 3) & 1
+        partial = ((hdr >> 3) & 1).astype(bool)
         bs_f = ((hdr >> 1) & 3).astype(I32)
         esc = (hdr & 1).astype(bool)
         # bytesShifted is depth-determined for every known encoder; frames
@@ -805,15 +806,39 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
         # which makes bs/chanbits STATIC: no zero-width shift gathers, and
         # the Rice escape width becomes a compile-time scalar.
         bs = bytes_shifted_for_depth(depth)
-        err = (err | (rtag != int(tag)) | (unused != 0) | (partial != 0)
+        err = (err | (rtag != int(tag)) | (unused != 0)
                | (~esc & (bs_f != bs)) | (esc & (bs_f != 0)))
-        bitpos = bitpos + 23
+
+        # partial (tail) frames: 32-bit numSamples right after the header
+        # (reference: ALACDecoder.cpp partialFrame path); decoded with a
+        # per-lane sample-count mask so tails batch with full frames
+        nsf = (_sfield(words, 23, 32) if fast_hdr
+               else rice._read_bits(words, bitpos + 23, 32))
+        bad_num = partial & ((nsf == 0) | (nsf > jnp.uint32(S)))
+        num_el = jnp.where(partial & ~bad_num, nsf.astype(I32), S)
+        err = err | bad_num
+        if num is None:
+            num = num_el
+        else:  # elements of one packet must agree on the frame length
+            err = err | (num_el != num)
+        partial_bits = jnp.where(partial, 32, 0)
+        bitpos = bitpos + 23 + partial_bits
         pos_esc = bitpos
+
+        if fast_hdr:
+            # shifted header view: partial lanes' fields sit exactly one
+            # word later (32-bit numSamples), so the static parse reads
+            # from a per-lane selected 60-column window
+            ncol = 61
+            wpad = (words if words.shape[1] >= ncol + 1 else
+                    jnp.pad(words, ((0, 0), (0, ncol + 1 - words.shape[1]))))
+            w_hdr = jnp.where(partial[:, None], wpad[:, 1:ncol + 1],
+                              wpad[:, :ncol])
 
         chanbits = depth - 8 * bs + (1 if is_cpe else 0)
 
         if is_cpe:
-            mixtok = (_sfield(words, 23, 16) if fast_hdr
+            mixtok = (_sfield(w_hdr, 23, 16) if fast_hdr
                       else rice._read_bits(words, bitpos, 16))
             mixbits_f = (mixtok >> 8).astype(I32)
             mixres_f = sign_extend((mixtok & 0xFF).astype(I32), 8)
@@ -823,9 +848,9 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
             mixres_f = jnp.where(esc, 0, mixres_f)
 
         if fast_hdr:
-            params, end_nonesc, perr = _decode_params_static(words, is_cpe)
+            params, end_nonesc, perr = _decode_params_static(w_hdr, is_cpe)
             err = err | (~esc & perr)
-            bitpos = jnp.where(esc, pos_esc, end_nonesc)
+            bitpos = jnp.where(esc, pos_esc, end_nonesc + partial_bits)
         else:
             params = []
             for _ in range(width):
@@ -835,7 +860,7 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
                 params.append(p)
 
         pos_shift = bitpos
-        shift_bits_total = width * S * 8 * bs
+        shift_bits_total = width * 8 * bs * num
         bitpos = bitpos + jnp.where(esc, 0, shift_bits_total)
 
         if stop_at == "params":  # profiling truncation
@@ -856,7 +881,7 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
                 with jax.named_scope("alacjax.fused_decode"):
                     samples, bitpos_n, rerr = fused_decode.decode_channel(
                         words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
-                        coefs, mode, order, den, taps=taps)
+                        coefs, mode, order, den, taps=taps, num=num)
                 bitpos = jnp.where(esc, bitpos, bitpos_n)
                 rerr_acc = rerr_acc | (~esc & rerr)
                 outs.append(samples)
@@ -896,7 +921,7 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
             dec = [matrix.shift_in(recon[0], shifts[0], bs)]
 
         # escape lanes: raw samples at static stride from pos_esc
-        esc_end = pos_esc + width * S * depth
+        esc_end = pos_esc + width * depth * num
         if stop_at == "nounesc":  # profiling truncation
             out_ch.extend(dec)
             bitpos = jnp.where(esc, esc_end, bitpos)
@@ -905,8 +930,13 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
         def with_unesc():
             if _fast_path_ok(config):
                 # single element at bit 0: field offsets are static ->
-                # sliced
-                raws = _unescape_words16(words, width, S)
+                # sliced (partial lanes: one-word-shifted view, the
+                # escape stream sits after the 32-bit numSamples field)
+                need = (23 + 16 * width * S + 31) // 32 + 2
+                wp = (words if words.shape[1] >= need else
+                      jnp.pad(words, ((0, 0), (0, need - words.shape[1]))))
+                w_esc = jnp.where(partial[:, None], wp[:, 1:], wp[:, :-1])
+                raws = _unescape_words16(w_esc, width, S)
             else:
                 raws = [sign_extend(
                     _extract_samples(words, pos_esc + ci * depth, S,
@@ -921,7 +951,14 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
         bitpos = jnp.where(esc, esc_end, bitpos)
 
     pcm = jnp.stack(out_ch, axis=1)
-    return pcm, err
+    # partial lanes: samples past num are scan leftovers — zero them
+    # (gated: full-frame batches skip the (B, C, S) select entirely)
+    pcm = jax.lax.cond(
+        jnp.any(num < S),
+        lambda: jnp.where(iota1(S)[None, None, :] < num[:, None, None],
+                          pcm, 0),
+        lambda: pcm)
+    return pcm, err, num
 
 
 # ---------------------------------------------------------------------------
@@ -983,21 +1020,27 @@ class JaxCodec:
         return packets
 
     # -- decode ---------------------------------------------------------
-    def decode_frames(self, packets: list[bytes]) -> np.ndarray:
-        """list of full-frame packets -> (nf, C, S) planar int32."""
+    def decode_frames_ex(self, packets: list[bytes]
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """list of packets -> ((nf, C, S) planar int64, (nf,) sample
+        counts).  Partial (tail) frames decode on device alongside full
+        frames (per-lane num mask); their trailing columns are zero."""
         cfg = self.config
+        S = cfg.frame_length
         nf = len(packets)
-        out = np.zeros((nf, cfg.num_channels, cfg.frame_length), dtype=np.int64)
+        out = np.zeros((nf, cfg.num_channels, S), dtype=np.int64)
+        nums = np.full((nf,), S, dtype=np.int64)
         for off in range(0, nf, self.chunk):
             blk = packets[off:off + self.chunk]
             n = len(blk)
             padded = blk + [b""] * (self.chunk - n)
             words = bitpack.bytes_to_words(padded, self.num_words)
             wdev = jnp.asarray(words)
-            pcm, err = self._decode(wdev)
+            pcm, err, num = self._decode(wdev)
             pcm = np.asarray(pcm)[:n]
             err = np.asarray(err)[:n]
             out[off:off + n] = pcm
+            nums[off:off + n] = np.asarray(num)[:n]
             if err.any():
                 # widespread errors usually mean a legal 9..16-tap stream
                 # (the production program compiles only the 8-tap FIR
@@ -1006,17 +1049,25 @@ class JaxCodec:
                 # threshold keeps corruption fuzzing (a few bad lanes)
                 # from triggering a pointless compile.
                 if err.sum() * 4 >= n and n >= 64:
-                    pcm16, err16 = self._decode(wdev, taps=16)
+                    pcm16, err16, num16 = self._decode(wdev, taps=16)
                     fixed = err & ~np.asarray(err16)[:n]
                     out[off:off + n][fixed] = np.asarray(pcm16)[:n][fixed]
+                    nums[off:off + n][fixed] = np.asarray(num16)[:n][fixed]
                     err = err & ~fixed
             if err.any():
                 dec = OracleDecoder(cfg)
                 for i in np.nonzero(err)[0]:
                     y, got = dec.decode_packet(blk[i])
-                    if got != cfg.frame_length:
-                        raise AlacParamError("unexpected partial frame")
-                    out[off + i] = y
+                    out[off + i, :, :got] = y[:, :got]
+                    out[off + i, :, got:] = 0
+                    nums[off + i] = got
+        return out, nums
+
+    def decode_frames(self, packets: list[bytes]) -> np.ndarray:
+        """list of FULL-frame packets -> (nf, C, S) planar int64."""
+        out, nums = self.decode_frames_ex(packets)
+        if (nums != self.config.frame_length).any():
+            raise AlacParamError("unexpected partial frame")
         return out
 
 
@@ -1051,18 +1102,26 @@ def _jax_decode_stream(config: AlacConfig, packets, num_valid_frames: int) -> np
     S = config.frame_length
     n_full = num_valid_frames // S
     n_full = min(n_full, len(packets))
-    out = np.zeros((config.num_channels, num_valid_frames), dtype=np.int64)
-    if n_full:
-        pcm = get_codec(config).decode_frames(list(packets[:n_full]))
-        out[:, : n_full * S] = np.transpose(pcm, (1, 0, 2)).reshape(
-            config.num_channels, n_full * S)
     rem = num_valid_frames - n_full * S
+    if rem and len(packets) <= n_full:
+        raise AlacParamError("missing packets for trailing samples")
+    n_pk = n_full + (1 if rem else 0)
+    out = np.zeros((config.num_channels, num_valid_frames), dtype=np.int64)
+    if not n_pk:
+        return out
+    # full frames AND the partial tail decode in one device batch
+    # (per-lane num mask; reference: ALACDecoder.cpp partialFrame)
+    pcm, nums = get_codec(config).decode_frames_ex(list(packets[:n_pk]))
+    if (nums[:n_full] != S).any():
+        raise AlacParamError("unexpected partial frame")
+    if rem and nums[n_full] != rem:
+        raise AlacParamError(
+            f"tail packet has {int(nums[n_full])} samples, expected {rem}")
+    flat = np.transpose(pcm[:n_full], (1, 0, 2)).reshape(
+        config.num_channels, n_full * S)
+    out[:, : n_full * S] = flat
     if rem:
-        if len(packets) <= n_full:
-            raise AlacParamError("missing packets for trailing samples")
-        dec = OracleDecoder(config)
-        y, got = dec.decode_packet(packets[n_full], num_samples=rem)
-        out[:, n_full * S:] = y[:, :rem]
+        out[:, n_full * S:] = pcm[n_full, :, :rem]
     return out
 
 

@@ -105,7 +105,7 @@ def _win_bits(ws, off, nbits):
 
 
 def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
-                  pb_v, kb, wb, zero, rel0, cache_words):
+                  pb_v, kb, wb, zero, rel0, cache_words, num=None):
     """One Rice-cursor substep of the fused decode scan: decodes one residual codeword (or consumes one
     pending zero-run sample) and advances (bitpos, mb, zmode, run_rem,
     c, err).  ``chanbits`` may be per-lane (B,) (stacked channels of
@@ -119,8 +119,9 @@ def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
     """
     bitpos, mb, zmode, run_rem, c, err = st
     max_adv = MAX_PREFIX_32 + chanbits_max + MAX_PREFIX_16 + 16
+    n_eff = S if num is None else num  # per-lane sample count (partial)
 
-    active = c < S
+    active = c < n_eff
     in_run = run_rem > 0
     decode_now = active & ~in_run
 
@@ -158,7 +159,7 @@ def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
     mb_upd = jnp.where(n > N_MAX_MEAN_CLAMP,
                        jnp.uint32(N_MEAN_CLAMP_VAL), mb_upd)
 
-    trigger = decode_now & ((mb_upd << MMULSHIFT) < QB) & (c1 < S)
+    trigger = decode_now & ((mb_upd << MMULSHIFT) < QB) & (c1 < n_eff)
 
     # zero-run codeword (speculative; used when trigger)
     kz = (clz32(mb_upd) - 24
@@ -179,7 +180,7 @@ def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
     nz = jnp.where(esc2, raw2, nz_plain)
     adv2 = jnp.where(esc2, MAX_PREFIX_16 + 16, adv2_plain)
 
-    overrun = trigger & (c1.astype(U32) + nz > S)
+    overrun = trigger & (c1.astype(U32) + nz > jnp.asarray(n_eff).astype(U32))
     err = err | overrun
     nz_safe = jnp.where(overrun, jnp.uint32(0), nz)
 
@@ -223,7 +224,7 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
                    mb0: int, pb, kb: int, wb: int,
                    coefs0, mode, numactive, denshift,
                    chanbits_max: int = None, taps: int | None = None,
-                   raw: bool = False):
+                   raw: bool = False, num=None):
     """Decode + reconstruct one channel: (B, W) words -> (B, S) samples.
 
     start_bits/pb/coefs0/mode/numactive/denshift are per-lane; chanbits
@@ -243,6 +244,13 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
     oracle's ag.dyn_decomp emits) instead of reconstructed samples —
     the residual-only mode behind rice.rice_decode, so the device tree
     has exactly ONE Rice cursor state machine.
+
+    ``num`` (per-lane (B,), <= num_samples) decodes only the first
+    ``num`` samples of each lane — partial (tail) frames ride the same
+    scan with the remaining substeps idle (reference:
+    codec/ALACDecoder.cpp partialFrame path, which this design handles
+    with a mask instead of a shorter loop so tails batch with full
+    frames under one compiled program).
     """
     B, W = words.shape
     S = num_samples
@@ -269,6 +277,8 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
     cache_words = -(-(rel0 + max_w + 4) // 8) * 8
     n_rows = cache_words // 8
 
+    if num is not None:
+        num = jnp.asarray(num, I32)
     fetch_row = _make_cache(words, B)
     start_bits = jnp.asarray(start_bits, I32)
     base0 = (start_bits >> 5) & ~jnp.int32(7)
@@ -299,7 +309,7 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
         st2, res, active = _rice_substep(
             st, blk, blk_base, g, S=S, chanbits=chanbits,
             chanbits_max=cb_max, pb_v=pb_v, kb=kb, wb=wb, zero=zero,
-            rel0=rel0, cache_words=cache_words)
+            rel0=rel0, cache_words=cache_words, num=num)
         if raw:
             # residual-only mode (rice.rice_decode): the signed deltas
             # ARE dyn_decomp's output; skip reconstruction entirely

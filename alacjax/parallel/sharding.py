@@ -61,8 +61,9 @@ class ShardedCodec:
             return words, bits
 
         def decode_step(words):
-            return _codec.decode_frames_device(
+            pcm, err, _num = _codec.decode_frames_device(
                 words, config=config, num_samples=S)
+            return pcm, err
 
         self._encode = jax.jit(
             encode_step,
@@ -86,7 +87,7 @@ class ShardedCodec:
             """
             words, bits = _codec.encode_frames_device(
                 pcm, config=config, num_words=self.num_words)
-            decoded, err = _codec.decode_frames_device(
+            decoded, err, _num = _codec.decode_frames_device(
                 words, config=config, num_samples=S)
             total_bytes = jnp.sum((bits + 7) // 8)
             mismatch = jnp.sum((decoded != pcm.astype(jnp.int32))

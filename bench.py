@@ -100,7 +100,7 @@ def main() -> int:
     words.block_until_ready()
     enc_compile = time.time() - t0
     t0 = time.time()
-    decoded, err = codec._decode(words)
+    decoded, err, _ = codec._decode(words)
     decoded.block_until_ready()
     dec_compile = time.time() - t0
 
@@ -112,7 +112,7 @@ def main() -> int:
     t0 = time.time()
     for _ in range(iters):
         w, b = codec._encode(x)
-        d, e = codec._decode(w)
+        d, e, _n = codec._decode(w)
     d.block_until_ready()
     dt = time.time() - t0
 

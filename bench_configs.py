@@ -65,7 +65,7 @@ def main() -> int:
         t0 = time.time()
         words, bits = codec._encode(x)
         words.block_until_ready()
-        decoded, err = codec._decode(words)
+        decoded, err, _ = codec._decode(words)
         decoded.block_until_ready()
         compile_s = time.time() - t0
         assert not np.asarray(err).any(), name
@@ -74,7 +74,7 @@ def main() -> int:
         t0 = time.time()
         for _ in range(iters):
             w, b = codec._encode(x)
-            d, e = codec._decode(w)
+            d, e, _n = codec._decode(w)
         d.block_until_ready()
         dt = time.time() - t0
         fps = B * iters / dt

@@ -38,7 +38,7 @@ def main():
     words.block_until_ready()
     print(f"enc compile+run: {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
-    dec, err = codec._decode(words)
+    dec, err, _ = codec._decode(words)
     dec.block_until_ready()
     print(f"dec compile+run: {time.time()-t0:.1f}s", flush=True)
     assert not np.asarray(err).any()
@@ -53,7 +53,7 @@ def main():
     # decode-only loop
     t0 = time.time()
     for _ in range(iters):
-        d, e = codec._decode(words)
+        d, e, _n = codec._decode(words)
     d.block_until_ready()
     t_dec = (time.time() - t0) / iters
     tot = t_enc + t_dec
