@@ -28,13 +28,22 @@ from alacjax.types import AlacConfig
 
 S = 4096
 
+# (name, config kwargs, content class).  The first five are the
+# BASELINE.json configs on smooth sine-mixture "music"; the last three
+# are VERDICT r02 item 8's hard deterministic content — the search
+# decisions (mixres, order, stage, escape) actually differ on
+# transient/decorrelated/ramping material, so the dilated-vs-exhaustive
+# delta is measured where it is largest, not where it is easiest.
 CONFIGS = [
-    ("stereo 16-bit 44.1k", dict(bit_depth=16, num_channels=2)),
-    ("mono 16-bit", dict(bit_depth=16, num_channels=1)),
+    ("stereo 16-bit 44.1k", dict(bit_depth=16, num_channels=2), "music"),
+    ("mono 16-bit", dict(bit_depth=16, num_channels=1), "music"),
     ("stereo 24-bit 96k", dict(bit_depth=24, num_channels=2,
-                               sample_rate=96000)),
-    ("5.1 16-bit", dict(bit_depth=16, num_channels=6)),
-    ("noise 32-bit", dict(bit_depth=32, num_channels=2)),
+                               sample_rate=96000), "music"),
+    ("5.1 16-bit", dict(bit_depth=16, num_channels=6), "music"),
+    ("noise 32-bit", dict(bit_depth=32, num_channels=2), "noise"),
+    ("transients 16-bit", dict(bit_depth=16, num_channels=2), "transients"),
+    ("wide stereo 16-bit", dict(bit_depth=16, num_channels=2), "wide"),
+    ("ramp-escape 24-bit", dict(bit_depth=24, num_channels=2), "ramps"),
 ]
 
 
@@ -60,6 +69,81 @@ def gen_music(rng: np.random.Generator, nch: int, n: int, depth: int,
     return out
 
 
+def gen_transients(rng: np.random.Generator, nch: int, n: int,
+                   depth: int) -> np.ndarray:
+    """Drum-like material: near-silence broken by exponentially-decaying
+    full-scale bursts at irregular offsets.  High crest factor; the
+    predictor restarts cold at every attack, which is where order/stage
+    choices diverge most between dilated and exhaustive search."""
+    full = (1 << (depth - 1)) - 1
+    out = np.zeros((nch, n))
+    pos = 0
+    while pos < n:
+        pos += int(rng.integers(200, 3000))
+        if pos >= n:
+            break
+        ln = min(int(rng.integers(64, 1024)), n - pos)
+        t = np.arange(ln)
+        for c in range(nch):
+            f = rng.uniform(80, 8000)
+            decay = np.exp(-t / (ln / rng.uniform(2.0, 8.0)))
+            out[c, pos:pos + ln] += (
+                np.sin(2 * np.pi * f * t / 44100 + rng.uniform(0, 6))
+                * decay * rng.uniform(0.5, 1.0))
+        pos += ln
+    out += 0.002 * rng.standard_normal((nch, n))
+    return np.clip(out * full, -full - 1, full).astype(np.int64)
+
+
+def gen_wide_stereo(rng: np.random.Generator, nch: int, n: int,
+                    depth: int) -> np.ndarray:
+    """Widely-decorrelated stereo: the channels share no source (plus an
+    anti-phase common component), so mid/side mixing is actively harmful
+    and the mixres trial has to discover that frame by frame."""
+    full = (1 << (depth - 1)) - 1
+    t = np.arange(n)
+    out = np.zeros((nch, n))
+    for c in range(nch):
+        sig = np.zeros(n)
+        for k in range(4):
+            f = rng.uniform(60, 4000)
+            sig += rng.uniform(0.1, 0.5) * np.sin(
+                2 * np.pi * f * t / 44100 + rng.uniform(0, 6))
+        sig += 0.01 * rng.standard_normal(n)
+        out[c] = sig
+    if nch == 2:
+        common = 0.3 * np.sin(2 * np.pi * 220.0 * t / 44100)
+        out[0] += common
+        out[1] -= common  # anti-phase: L+R cancels, L-R doubles
+    peak = np.abs(out).max()
+    return np.clip(out / peak * 0.9 * full, -full - 1, full).astype(np.int64)
+
+
+def gen_ramps(rng: np.random.Generator, nch: int, n: int,
+              depth: int) -> np.ndarray:
+    """Noise under a triangle amplitude envelope sweeping 0 -> full scale
+    and back: each sweep crosses the escape decision threshold, so frames
+    land on both sides of (and near) the compressed-vs-escape boundary."""
+    full = (1 << (depth - 1)) - 1
+    t = np.arange(n)
+    period = 5.5 * S  # incommensurate with the frame length
+    env = np.abs(((t / period) % 1.0) * 2 - 1)  # triangle 0..1
+    out = np.zeros((nch, n))
+    for c in range(nch):
+        out[c] = rng.standard_normal(n) * env
+    return np.clip(out * full, -full - 1, full).astype(np.int64)
+
+
+GENERATORS = {
+    "music": lambda rng, nch, n, depth: gen_music(rng, nch, n, depth),
+    "noise": lambda rng, nch, n, depth: gen_music(rng, nch, n, depth,
+                                                  noise=True),
+    "transients": gen_transients,
+    "wide": gen_wide_stereo,
+    "ramps": gen_ramps,
+}
+
+
 def measure(cfg: AlacConfig, pcm: np.ndarray, search: str) -> int:
     enc = NativeEncoder(cfg, search=search)
     total = 0
@@ -78,10 +162,10 @@ def main() -> int:
 
     rng = np.random.default_rng(2026)
     rows = []
-    for name, kw in CONFIGS:
+    for name, kw, content in CONFIGS:
         cfg = AlacConfig(frame_length=S, **kw)
-        pcm = gen_music(rng, cfg.num_channels, args.frames * S,
-                        cfg.bit_depth, noise="noise" in name)
+        pcm = GENERATORS[content](rng, cfg.num_channels, args.frames * S,
+                                  cfg.bit_depth)
         raw = pcm.shape[1] * cfg.num_channels * cfg.bit_depth // 8
         std = measure(cfg, pcm, "standard")
         exh = measure(cfg, pcm, "exhaustive")
