@@ -39,7 +39,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .oracle import ALACDecoder as OracleDecoder
-from .oracle import ALACEncoder as OracleEncoder
 from .oracle.encoder import (
     DEFAULT_MIX_BITS, FAST_MIX_RES, FAST_ORDER, MAX_RES, MIXRES_DILATE,
     PB_FACTOR, SEARCH_ORDERS, SEARCH_STAGES, bytes_shifted_for_depth,
@@ -104,7 +103,7 @@ def _init_coefs_batched(B):
     return jnp.broadcast_to(row, (B, kALACMaxCoefs))
 
 
-def _mixres_select(cpe_pairs, chanbits, config):
+def _mixres_select(cpe_pairs, chanbits, config, nums=None):
     """Stereo-mode selection for ALL CPE elements of the packet in one
     stacked dilated trial (v2 dialect, mirrors oracle.encoder
     ._mixres_trial): mix every MIXRES_DILATE-th sample for each mixres
@@ -113,7 +112,10 @@ def _mixres_select(cpe_pairs, chanbits, config):
     the summed cost (first minimum wins).
 
     cpe_pairs: list of (l_hi, r_hi) tuples; chanbits: the (shared) CPE
-    chanbits.  Returns list of (B,) mixres selections.
+    chanbits; nums: optional per-lane (B,) sample counts (partial / tail
+    frames — the trial then costs ceil(num/dilate) dilated samples, the
+    oracle's l_hi[:num:dilate] length).  Returns list of (B,) mixres
+    selections.
     """
     B = cpe_pairs[0][0].shape[0]
     mb0, pb, kb, wb = _rice_params_static(config)
@@ -125,16 +127,19 @@ def _mixres_select(cpe_pairs, chanbits, config):
             u, v = matrix.mix(ld, rd, DEFAULT_MIX_BITS, mr)
             cand.extend((u, v))
     st = jnp.concatenate(cand, axis=0)          # (n_cpe*10*B, nd)
+    nd_lane = (None if nums is None else
+               jnp.tile((nums + MIXRES_DILATE - 1) // MIXRES_DILATE,
+                        len(cand)))
     with jax.named_scope("alacjax.mixres_trial"):
         _, c = predict.pc_block_cost(
             st, _init_coefs_batched(st.shape[0]), FAST_ORDER,
-            chanbits, DENSHIFT_DEFAULT, mb0, pb, kb, wb)
+            chanbits, DENSHIFT_DEFAULT, mb0, pb, kb, wb, num=nd_lane)
     tot = c.reshape(len(cpe_pairs), MAX_RES + 1, 2, B).sum(axis=2)
     return [jnp.argmin(tot[e], axis=0).astype(I32)
             for e in range(len(cpe_pairs))]
 
 
-def _search_channels(streams, chanbits_list, config, banks=None):
+def _search_channels(streams, chanbits_list, config, banks=None, nums=None):
     """Per-channel (order x stage) candidate search for ALL channels of
     ALL elements in ONE dual-cost scan (v2 dialect):
 
@@ -146,7 +151,9 @@ def _search_channels(streams, chanbits_list, config, banks=None):
 
     streams: list of (B, S) channel streams (post-mix, post-shift);
     chanbits_list: per-stream ints; banks: optional per-stream
-    {order: (B, 16)} coefficient banks (persistent stream mode).
+    {order: (B, 16)} coefficient banks (persistent stream mode);
+    nums: optional per-lane (B,) sample counts (partial / tail frames —
+    the cost machines then price only the first num samples per lane).
     Returns per-channel lists (res, order, mode, rice_bits, coefs0_win,
     {order: adapted coefs}).
     """
@@ -171,18 +178,19 @@ def _search_channels(streams, chanbits_list, config, banks=None):
         cb_lane = jnp.concatenate(
             [jnp.full((B,), cb, dtype=I32) for cb in chanbits_list], axis=0)
         cb_all = jnp.tile(cb_lane, len(orders))
+    num_all = None if nums is None else jnp.tile(nums, len(orders) * W)
     with jax.named_scope("alacjax.predict_cost"):
         if len(orders) == 1 and stages == [1]:
             res_all, c1_all, coefs_all = predict.pc_block_cost_coefs(
                 xs, c0s, orders[0], cb_all, DENSHIFT_DEFAULT,
-                mb0, pb, kb, wb)
+                mb0, pb, kb, wb, num=num_all)
             c2_all = None
         else:
             na = jnp.concatenate(
                 [jnp.full((W * B,), od, dtype=I32) for od in orders], axis=0)
             res_all, c1_all, c2_all, coefs_all = predict.pc_block_cost2(
                 xs, c0s, na, cb_all, DENSHIFT_DEFAULT, mb0, pb, kb, wb,
-                na_max=max(orders))
+                na_max=max(orders), num=num_all)
 
     res_list, order_list, mode_list = [], [], []
     rice_list, coefs0_list, adapted_list = [], [], []
@@ -294,8 +302,38 @@ def _emit_block(fields, d: int, start_bits):
     return placed, keys, end, tail_val, tail_key
 
 
+def _emit_block_n(fields, d: int, start_bits, nf_lane):
+    """_emit_block with a PER-LANE field count (partial / tail frames):
+    lane b's block is its first nf_lane[b] fields.  Fields at index >=
+    nf_lane[b] must already be zero (the caller masks), so the packed
+    image is clean past each lane's end; keys beyond the per-lane
+    complete-word count drop to the 0xFFFFFFFF sentinel and the boundary
+    partial word comes from a one-word take_along_axis (per-lane tail
+    position is data-dependent, unlike _emit_block's two-candidate
+    select).
+
+    Returns (words, keys, end_bits, tail_val, tail_key)."""
+    img = bitpack.pack_fields(fields, d)
+    placed = bitpack.place_segment(img, (start_bits & 31).astype(U32))
+    W = placed.shape[1]
+    keys = _segment_keys(start_bits >> 5, W)
+    nbits = (nf_lane * d).astype(I32)
+    phase = (start_bits & 31).astype(I32)
+    n_complete = (phase + nbits) >> 5
+    keys = jnp.where(iota1(W, I32)[None, :] < n_complete[:, None],
+                     keys, jnp.uint32(0xFFFFFFFF))
+    end = start_bits + nbits
+    has_tail = (end & 31) > 0
+    tail_val = jnp.take_along_axis(
+        placed, jnp.clip(n_complete, 0, W - 1)[:, None], axis=1)[:, 0]
+    tail_val = jnp.where(has_tail, tail_val, 0)
+    tail_key = ((start_bits >> 5) + n_complete).astype(U32)
+    return placed, keys, end, tail_val, tail_key
+
+
 def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
-                          banks=None, stop_at: str | None = None):
+                          banks=None, stop_at: str | None = None,
+                          nums=None):
     """Packet assembly without any large scatter, all configs.
 
     Every stream's absolute bit offset is computable before emission
@@ -313,12 +351,27 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
     banks; returns (words, total_bits, new_banks) with the oracle's
     commit rule (winning order's bank takes the adapted coefs unless the
     element escaped).  With banks=None, init coefs are used and new_banks
-    is None (independent-frames mode)."""
+    is None (independent-frames mode).
+
+    nums: optional per-lane (B,) sample counts (1 <= nums <= S) —
+    partial (tail) frames batch with full frames (reference:
+    ALACEncoder.cpp Encode partial-frame path).  Lanes with nums < S get
+    the partial header flag + 32-bit numSamples field, per-lane-sized
+    shift/escape blocks, and cost/emission machines capped at nums.
+    Samples at index >= nums[b] must be zero (the host pads).  With
+    banks, a partial lane's committed coefs reflect adaptation over all
+    S padded samples (the oracle's stop at nums) — immaterial, because a
+    tail is by construction the stream's LAST packet, so the committed
+    values are never read; the PACKET bytes are oracle-identical."""
     B = pcm.shape[0]
     S = config.frame_length
     depth = config.bit_depth
     bs = bytes_shifted_for_depth(depth)
     mb0, pb, kb, wb = _rice_params_static(config)
+    if nums is not None:
+        nums = jnp.asarray(nums, I32)
+        partial = nums < S
+        pbits = jnp.where(partial, 32, 0).astype(I32)
 
     # ---- pass 1a: per-element prep (shift-off) ----
     elems = []
@@ -348,7 +401,7 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             e["mixres_win"] = jnp.full((B,), FAST_MIX_RES, dtype=I32)
     elif cpes:
         sels = _mixres_select([(e["his"][0], e["his"][1]) for e in cpes],
-                              cpes[0]["chanbits"], config)
+                              cpes[0]["chanbits"], config, nums=nums)
         for e, sel in zip(cpes, sels):
             e["mixres_win"] = sel
     for e in elems:
@@ -372,7 +425,8 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             all_banks.extend(banks[e["ch0"] + i] for i in range(e["width"]))
     (res_l, orders_l, modes_l, rice_l, coefs0_l, adapted_l) = (
         _search_channels(all_streams, all_cb, config,
-                         banks=all_banks if banks is not None else None))
+                         banks=all_banks if banks is not None else None,
+                         nums=nums))
     ci0 = 0
     for e in elems:
         w = e["width"]
@@ -387,9 +441,18 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         is_cpe, width = e["is_cpe"], e["width"]
         hdr_bits = (23 + (16 if is_cpe else 0) + width * 16
                     + 16 * sum(e["orders_win"]))
-        shift_bits = width * S * 8 * bs
+        if nums is None:
+            shift_bits = width * S * 8 * bs
+            esc_bits = 23 + width * S * depth
+        else:
+            # partial lanes carry a 32-bit numSamples field in BOTH
+            # forms (it cancels in the comparison, like the 23-bit
+            # header — oracle/encoder.py "compare bodies") and size
+            # their sample blocks by nums
+            hdr_bits = hdr_bits + pbits
+            shift_bits = width * 8 * bs * nums
+            esc_bits = 23 + pbits + width * depth * nums
         comp_bits = hdr_bits + shift_bits + sum(e["rice_bits"])
-        esc_bits = 23 + width * S * depth
         use_escape = comp_bits >= esc_bits
         e["use_escape"] = use_escape
         e["elem_bits"] = jnp.where(use_escape, esc_bits, comp_bits)
@@ -424,7 +487,10 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
     for e in elems:
         hdr_len = (23 + (16 if e["is_cpe"] else 0) + e["width"] * 16
                    + 16 * sum(e["orders_win"]))
-        pos = e["start"] + hdr_len + e["width"] * S * 8 * bs
+        if nums is None:
+            pos = e["start"] + hdr_len + e["width"] * S * 8 * bs
+        else:
+            pos = e["start"] + hdr_len + pbits + e["width"] * 8 * bs * nums
         for ci in range(e["width"]):
             rice_feed.append(e["res_win"][ci])
             rice_starts.append(pos)
@@ -439,7 +505,8 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         cw_all, ck_all, _, ctv_all, ctk_all = rice.rice_encode_words(
             jnp.concatenate(rice_feed, axis=0), cb_arg, mb0, pb, kb, wb,
             jnp.concatenate(rice_starts, axis=0), bit_size_cap=max(rice_cb),
-            emit_flush=False)
+            emit_flush=False,
+            num=None if nums is None else jnp.tile(nums, len(rice_feed)))
 
     if stop_at == "rice":  # profiling truncation (prof_trunc.py)
         return (cw_all, ck_all, ctv_all, ctk_all, total_c)
@@ -454,10 +521,18 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
     rci = 0
     for e in elems:
         width, is_cpe = e["width"], e["is_cpe"]
-        # compressed stream: header tokens
-        hv = [jnp.full((B, 1), _header23(e["tag"], e["instance"], bs, False),
-                       dtype=U32)]
+        # compressed stream: header tokens (partial lanes: flag bit 3 of
+        # the 23-bit header + a 32-bit numSamples token, zero-length on
+        # full lanes — assemble() skips L=0 tokens)
+        h23 = jnp.full((B, 1), _header23(e["tag"], e["instance"], bs, False),
+                       dtype=U32)
+        if nums is not None:
+            h23 = h23 | (partial.astype(U32) << 3)[:, None]
+        hv = [h23]
         hl = [jnp.full((B, 1), 23, I32)]
+        if nums is not None:
+            hv.append(nums.astype(U32)[:, None])
+            hl.append(pbits[:, None])
         if is_cpe:
             mixtok = (jnp.uint32(DEFAULT_MIX_BITS << 8)
                       | (e["mixres_win"].astype(U32) & 0xFF))
@@ -468,7 +543,8 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             hl.append(jnp.full((B, 1), 16, I32))
             cv, cl = _coef_tokens(e["coefs0_win"][ci], e["orders_win"][ci])
             hv.append(cv); hl.append(cl)
-        cap = 23 + 16 + width * (16 + 16 * kALACMaxCoefs)
+        cap = (23 + (0 if nums is None else 32) + 16
+               + width * (16 + 16 * kALACMaxCoefs))
         hw, hk, pos, htv, htk = _emit_header(hv, hl, e["start"], cap)
         seg_v, seg_k = [hw], [hk]
         tv_c, tk_c = [htv], [htk]
@@ -477,7 +553,15 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         if bs:
             sh = (_interleave2(e["los"][0], e["los"][1]) if is_cpe
                   else e["los"][0])
-            bw, bk, pos, btv, btk = _emit_block(sh.astype(U32), 8 * bs, pos)
+            if nums is None:
+                bw, bk, pos, btv, btk = _emit_block(sh.astype(U32),
+                                                    8 * bs, pos)
+            else:
+                nf = width * nums
+                sh = jnp.where(iota1(sh.shape[1])[None, :] < nf[:, None],
+                               sh, 0)
+                bw, bk, pos, btv, btk = _emit_block_n(sh.astype(U32),
+                                                      8 * bs, pos, nf)
             seg_v.append(bw); seg_k.append(bk)
             tv_c.append(btv); tk_c.append(btk)
 
@@ -496,14 +580,30 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         # several ms and is wasted on every batch where nothing escaped
         # (typical music), so the whole build runs under a runtime cond.
         def esc_stream():
-            ehv = [jnp.full((B, 1),
+            eh23 = jnp.full((B, 1),
                             _header23(e["tag"], e["instance"], 0, True),
-                            dtype=U32)]
+                            dtype=U32)
+            if nums is not None:
+                eh23 = eh23 | (partial.astype(U32) << 3)[:, None]
+            ehv = [eh23]
             ehl = [jnp.full((B, 1), 23, I32)]
-            ew, ek, epos, etv, etk = _emit_header(ehv, ehl, e["start"], 23)
+            ecap = 23
+            if nums is not None:
+                ehv.append(nums.astype(U32)[:, None])
+                ehl.append(pbits[:, None])
+                ecap += 32
+            ew, ek, epos, etv, etk = _emit_header(ehv, ehl, e["start"], ecap)
             raw = (_interleave2(e["chans"][0], e["chans"][1]) if is_cpe
                    else e["chans"][0])
-            rw, rk, _, rtv, rtk = _emit_block(raw.astype(U32), depth, epos)
+            if nums is None:
+                rw, rk, _, rtv, rtk = _emit_block(raw.astype(U32), depth,
+                                                  epos)
+            else:
+                nf = width * nums
+                raw = jnp.where(
+                    iota1(raw.shape[1])[None, :] < nf[:, None], raw, 0)
+                rw, rk, _, rtv, rtk = _emit_block_n(raw.astype(U32), depth,
+                                                    epos, nf)
             return (jnp.concatenate([ew, rw], axis=1),
                     jnp.concatenate([ek, rk], axis=1),
                     (etv, rtv), (etk, rtk))
@@ -993,6 +1093,17 @@ class JaxCodec:
             "enc", lambda p: encode_frames_device(p, config=cfg,
                                                   num_words=nw), pcm)
 
+    def _encode_ex(self, pcm, nums):
+        cfg, nw = self.config, self.num_words
+        key = ("encp", pcm.shape, str(pcm.dtype))
+        exe = self._exe.get(key)
+        if exe is None:
+            fn = (lambda p, n:
+                  _encode_packet_chunks(p, cfg, nw, nums=n)[:2])
+            exe = jax.jit(fn).lower(pcm, nums).compile()
+            self._exe[key] = exe
+        return exe(pcm, nums)
+
     def _decode(self, words, taps: int = 8):
         cfg = self.config
         return self._aot(
@@ -1015,6 +1126,32 @@ class JaxCodec:
                     [block, np.zeros((self.chunk - n,) + block.shape[1:],
                                      dtype=block.dtype)], axis=0)
             words, bits = self._encode(jnp.asarray(block.astype(np.int32)))
+            packets.extend(bitpack.words_to_bytes(
+                np.asarray(words)[:n], np.asarray(bits)[:n]))
+        return packets
+
+    def encode_frames_ex(self, pcm: np.ndarray,
+                         nums: np.ndarray) -> list[bytes]:
+        """(nf, C, S) planar int + (nf,) per-frame sample counts -> list
+        of nf packets.  Frames with nums < S encode as partial (tail)
+        frames ON DEVICE, batched with full frames (VERDICT r02 item 3;
+        reference: ALACEncoder.cpp Encode partial-frame path); their
+        samples at index >= nums must be zero (callers pad)."""
+        S = self.config.frame_length
+        nf = pcm.shape[0]
+        packets = []
+        for off in range(0, nf, self.chunk):
+            block = pcm[off:off + self.chunk]
+            nm = np.asarray(nums[off:off + self.chunk], dtype=np.int32)
+            n = block.shape[0]
+            if n < self.chunk:
+                pad = self.chunk - n
+                block = np.concatenate(
+                    [block, np.zeros((pad,) + block.shape[1:],
+                                     dtype=block.dtype)], axis=0)
+                nm = np.concatenate([nm, np.full((pad,), S, np.int32)])
+            words, bits = self._encode_ex(
+                jnp.asarray(block.astype(np.int32)), jnp.asarray(nm))
             packets.extend(bitpack.words_to_bytes(
                 np.asarray(words)[:n], np.asarray(bits)[:n]))
         return packets
@@ -1082,20 +1219,29 @@ def get_codec(config: AlacConfig, chunk: int = DEFAULT_CHUNK) -> JaxCodec:
 
 
 def _jax_encode_stream(config: AlacConfig, pcm: np.ndarray) -> list[bytes]:
-    """convert.py backend: planar (C, N) -> packets (device for full
-    frames, oracle for the partial tail)."""
+    """convert.py backend: planar (C, N) -> packets, full frames AND the
+    partial tail in one device batch (per-lane nums; reference:
+    ALACEncoder.cpp Encode partial-frame path)."""
     S = config.frame_length
+    C = pcm.shape[0]
     N = pcm.shape[1]
     nf = N // S
-    packets = []
+    rem = N % S
+    n_pk = nf + (1 if rem else 0)
+    if not n_pk:
+        return []
+    frames = np.zeros((n_pk, C, S), dtype=pcm.dtype)
     if nf:
-        frames = np.transpose(
-            pcm[:, : nf * S].reshape(pcm.shape[0], nf, S), (1, 0, 2))
-        packets = get_codec(config).encode_frames(frames)
-    if N % S:
-        enc = OracleEncoder(config, independent_frames=True)
-        packets.append(enc.encode_packet(pcm[:, nf * S:]))
-    return packets
+        frames[:nf] = np.transpose(
+            pcm[:, : nf * S].reshape(C, nf, S), (1, 0, 2))
+    nums = np.full((n_pk,), S, dtype=np.int32)
+    if rem:
+        frames[nf, :, :rem] = pcm[:, nf * S:]
+        nums[nf] = rem
+    codec = get_codec(config)
+    if rem:
+        return codec.encode_frames_ex(frames, nums)
+    return codec.encode_frames(frames)
 
 
 def _jax_decode_stream(config: AlacConfig, packets, num_valid_frames: int) -> np.ndarray:

@@ -48,7 +48,7 @@ def _unroll() -> int:
 
 def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
                   cost_params=None, dual_cost: bool = False,
-                  na_max: int | None = None):
+                  na_max: int | None = None, num=None):
     """Shared general-mode scan.  x_sb: (S, B) time-major input (samples on
     encode, residuals on decode).  Returns (out (S, B), coefs (B, 16)) or,
     with cost_params=(mb0, pb, kb, wb) on encode, (out, coefs, cost_bits):
@@ -61,7 +61,14 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
     first-difference of the residual stream (the stage-2 / mode!=0
     cascade candidate, dp_enc.c :: pc_block numactive==31 applied to the
     FIR residuals) and returns (out, coefs, cost_bits, cost2_bits) — the
-    whole order x stage candidate grid then costs one scan per order."""
+    whole order x stage candidate grid then costs one scan per order.
+
+    ``num`` (per-lane (B,), <= S) restricts the COST machines to the
+    first ``num`` samples of each lane — partial (tail) frames batch
+    with full frames (reference: ALACEncoder.cpp partial-frame Encode).
+    The predictor walk itself needs no mask: residuals below num are
+    causal in the input, and post-num adaptation only affects coefs_out,
+    which tails (always a stream's last packet) never commit."""
     S, B = x_sb.shape
     static_na = isinstance(na, int)
     na_v = None if static_na else na.astype(I32)
@@ -85,6 +92,7 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
         assert not decode
         from . import rice as rice_mod
         mb0_c, pb_c, kb_c, wb_c = cost_params
+    S_eff = S if num is None else num.astype(I32)
 
     nc = _W + kALACMaxCoefs + 1  # core carry slots
 
@@ -153,14 +161,14 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
         if cost_params is None:
             return new_carry, out
         rice_state, _, lens = rice_mod._encode_step_tokens(
-            out, t, rice_state, S=S, bit_size=chanbits,
+            out, t, rice_state, S=S_eff, bit_size=chanbits,
             pb=pb_c, kb=kb_c, wb=wb_c)
         total = total + lens[0] + lens[1] + lens[2]
         tail = rice_state + (total,)
         if dual_cost:
             d = jnp.where(t == 0, out, sign_extend(out - prev_out, chanbits))
             rice2, _, lens2 = rice_mod._encode_step_tokens(
-                d, t, rice2, S=S, bit_size=chanbits,
+                d, t, rice2, S=S_eff, bit_size=chanbits,
                 pb=pb_c, kb=kb_c, wb=wb_c)
             total2 = total2 + lens2[0] + lens2[1] + lens2[2]
             tail = tail + (out,) + rice2 + (total2,)
@@ -181,7 +189,7 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
     def flush(state, total):
         # virtual end step: flush a pending zero-run token (t == S)
         _, _, lens = rice_mod._encode_step_tokens(
-            jnp.ones((B,), dtype=I32), jnp.int32(S), state, S=S,
+            jnp.ones((B,), dtype=I32), jnp.int32(S), state, S=S_eff,
             bit_size=chanbits, pb=pb_c, kb=kb_c, wb=wb_c)
         return total + lens[0] + lens[1] + lens[2]
 
@@ -258,7 +266,7 @@ def unpc_block(res, coefs0, numactive, chanbits, denshift=9):
 
 
 def pc_block_cost(x, coefs0, numactive: int, chanbits: int, denshift: int,
-                  mb0: int, pb: int, kb: int, wb: int):
+                  mb0: int, pb: int, kb: int, wb: int, num=None):
     """Fused forward prediction + adaptive-Rice bit cost (one scan).
 
     (B, S) samples -> (residuals (B, S), rice_cost_bits (B,)).  Exactly
@@ -266,12 +274,13 @@ def pc_block_cost(x, coefs0, numactive: int, chanbits: int, denshift: int,
     inside the predictor scan — the encoder search's hot path.
     """
     res, cost, _ = pc_block_cost_coefs(
-        x, coefs0, numactive, chanbits, denshift, mb0, pb, kb, wb)
+        x, coefs0, numactive, chanbits, denshift, mb0, pb, kb, wb, num=num)
     return res, cost
 
 
 def pc_block_cost_coefs(x, coefs0, numactive: int, chanbits: int,
-                        denshift: int, mb0: int, pb: int, kb: int, wb: int):
+                        denshift: int, mb0: int, pb: int, kb: int, wb: int,
+                        num=None):
     """pc_block_cost that also returns the adapted coefficients (B, 16)
     (needed by the persistent-bank stream encoder, ALACEncoder.cpp's
     mCoefsU/V members surviving across packets)."""
@@ -279,16 +288,18 @@ def pc_block_cost_coefs(x, coefs0, numactive: int, chanbits: int,
     if pallas_cfg.enabled():
         from . import rice as rice_mod
         res, coefs = pc_block(x, coefs0, numactive, chanbits, denshift)
-        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb), coefs
+        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb,
+                                       num=num), coefs
     x = x.astype(I32)
     if numactive in (0, 31):
         from . import rice as rice_mod
         res, coefs = _run(x, coefs0, numactive, chanbits, denshift,
                           decode=False)
-        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb), coefs
+        return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb,
+                                       num=num), coefs
     out_sb, coefs, cost = _scan_general(
         x.T, coefs0, numactive, chanbits, denshift, decode=False,
-        cost_params=(mb0, pb, kb, wb))
+        cost_params=(mb0, pb, kb, wb), num=num)
     return out_sb.T, cost, coefs
 
 
@@ -303,7 +314,7 @@ def wrap_diff(res, chanbits: int):
 
 def pc_block_cost2(x, coefs0, numactive, chanbits: int, denshift: int,
                    mb0: int, pb: int, kb: int, wb: int,
-                   na_max: int | None = None):
+                   na_max: int | None = None, num=None):
     """Fused forward prediction + Rice cost of BOTH stage candidates.
 
     (B, S) samples -> (residuals (B, S), cost1 (B,), cost2 (B,),
@@ -324,11 +335,13 @@ def pc_block_cost2(x, coefs0, numactive, chanbits: int, denshift: int,
     if pallas_cfg.enabled() or (static_na and numactive in (0, 31)):
         from . import rice as rice_mod
         res, coefs = pc_block(x, coefs0, numactive, chanbits, denshift)
-        return (res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb),
+        return (res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb,
+                                        num=num),
                 rice_mod.rice_cost(wrap_diff(res, chanbits), chanbits,
-                                   mb0, pb, kb, wb), coefs)
+                                   mb0, pb, kb, wb, num=num), coefs)
     na = numactive if static_na else numactive.astype(I32)
     out_sb, coefs, cost, cost2 = _scan_general(
         x.T, coefs0, na, chanbits, denshift, decode=False,
-        cost_params=(mb0, pb, kb, wb), dual_cost=True, na_max=na_max)
+        cost_params=(mb0, pb, kb, wb), dual_cost=True, na_max=na_max,
+        num=num)
     return out_sb.T, cost, cost2, coefs

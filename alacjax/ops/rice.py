@@ -90,7 +90,9 @@ def _encode_step_tokens(x, t, state, *, S, bit_size, pb, kb, wb):
 
     Token slots, in stream order: [zero-run codeword, residual codeword,
     escape payload].  ``t == S`` is the virtual end step that flushes a
-    pending run token.
+    pending run token.  ``S`` may be a per-lane (B,) array (partial /
+    tail frames): t >= S[b] makes lane b inactive, so the flush fires at
+    each lane's own end while the scan length stays static.
     """
     mb, in_run, run_len, run_kz, run_mz = state
     valid = t < S
@@ -171,9 +173,15 @@ def rice_encode_tokens(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
     return vals, lens.astype(I32)
 
 
-def rice_cost(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
-    """Total Rice bits per frame lane (B,) — the search's cost metric."""
+def rice_cost(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int,
+              num=None):
+    """Total Rice bits per frame lane (B,) — the search's cost metric.
+
+    ``num`` (per-lane (B,), <= S): cost only the first num samples of
+    each lane (partial / tail frames; the token machine treats t >= num
+    as past-the-end, flushing a pending run exactly at num)."""
     B, S = res.shape
+    S_eff = S if num is None else num
     xs = jnp.concatenate([res.astype(I32).T,
                           jnp.ones((1, B), dtype=I32)], axis=0)
     ts = iota1(S + 1)
@@ -182,7 +190,7 @@ def rice_cost(res, bit_size: int, mb0: int, pb: int, kb: int, wb: int):
         state, total = carry
         x, t = inp
         state, _, lens = _encode_step_tokens(
-            x, t, state, S=S, bit_size=bit_size, pb=pb, kb=kb, wb=wb)
+            x, t, state, S=S_eff, bit_size=bit_size, pb=pb, kb=kb, wb=wb)
         return (state, total + lens[0] + lens[1] + lens[2]), None
 
     (_, total), _ = jax.lax.scan(
@@ -224,7 +232,7 @@ def _append_bits(acc, fill, wcount, v, L):
 
 def rice_encode_words(res, bit_size, mb0: int, pb, kb: int, wb: int,
                       start_bits, bit_size_cap: int | None = None,
-                      emit_flush: bool = True):
+                      emit_flush: bool = True, num=None):
     """Residuals (B, S) -> phase-aligned packed word chunks.
 
     ``bit_size`` may be a per-lane (B,) array (the encoder stacks every
@@ -244,11 +252,17 @@ def rice_encode_words(res, bit_size, mb0: int, pb, kb: int, wb: int,
     [start>>5, end>>5)); the partial word is returned separately as a
     per-lane tail to be OR'd by the merger.
 
+    ``num`` (per-lane (B,), <= S) encodes only the first num samples of
+    each lane — the token machine's end-of-stream predicate is t < num,
+    so a pending zero-run flushes exactly at num and later steps emit
+    nothing (partial / tail frames batch with full frames).
+
     Returns (chunk_words (B, n_slots*(S+1)) u32, chunk_keys (same) u32
     with 0xFFFFFFFF marking empty slots, end_bits (B,) i32 = absolute end
     position of the stream, tail_val (B,) u32, tail_key (B,) u32).
     """
     B, S = res.shape
+    S_eff = S if num is None else num
     start_bits = jnp.asarray(start_bits, I32)
     base_word = start_bits >> 5
     xs = jnp.concatenate([res.astype(I32).T,
@@ -265,7 +279,8 @@ def rice_encode_words(res, bit_size, mb0: int, pb, kb: int, wb: int,
         x, t = inp
         rice_state, acc, fill, wcount = state[0], state[1], state[2], state[3]
         rice_state, vals, lens = _encode_step_tokens(
-            x, t, rice_state, S=S, bit_size=bit_size, pb=pb, kb=kb, wb=wb)
+            x, t, rice_state, S=S_eff, bit_size=bit_size, pb=pb, kb=kb,
+            wb=wb)
         slot_w = [jnp.zeros((B,), U32) for _ in range(n_slots)]
         slot_k = [jnp.full((B,), 0xFFFFFFFF, U32) for _ in range(n_slots)]
         n_emitted = jnp.zeros((B,), I32)

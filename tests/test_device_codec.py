@@ -105,6 +105,29 @@ def test_device_decode_flags_corrupt_headers_and_falls_back(rng):
         codec.decode_frames([pkts[0], bytes(bad)])
 
 
+@pytest.mark.parametrize("depth,nch", [(16, 2), (24, 2), (16, 6), (32, 2)])
+def test_device_partial_frames_byte_identical_to_oracle(rng, depth, nch):
+    """Partial (tail) frames encode ON DEVICE, batched with full frames
+    via per-lane sample counts, byte-identical to the oracle (VERDICT
+    r02 item 3; reference: ALACEncoder.cpp Encode partial-frame path) —
+    and the device decoder eats them back in the same batch."""
+    cfg = AlacConfig(bit_depth=depth, num_channels=nch, frame_length=S)
+    nums = np.array([S, 5, 100, S - 1, 1, 77], np.int32)
+    kinds = ["sine", "noise", "sine", "impulse", "silence", "noise"]
+    x = np.zeros((len(nums), nch, S), np.int64)
+    for b, (n, k) in enumerate(zip(nums, kinds)):
+        x[b] = gen_pcm(rng, k, nch, S, depth)
+        x[b, :, n:] = 0
+    codec = get_codec(cfg, chunk=len(nums))
+    pkts = codec.encode_frames_ex(x, nums)
+    enc = ALACEncoder(cfg, independent_frames=True)
+    for b, n in enumerate(nums):
+        assert pkts[b] == enc.encode_packet(x[b, :, :n]), f"lane {b} num={n}"
+    dec, got = codec.decode_frames_ex(pkts)
+    np.testing.assert_array_equal(got, nums)
+    np.testing.assert_array_equal(dec, x)
+
+
 def test_jax_backend_stream_roundtrip_with_partial_tail(rng):
     from alacjax.convert import get_backend
     enc, dec = get_backend("jax")
