@@ -24,10 +24,13 @@ Encode dataflow (one jit program per (B, S, config)):
 Decode dataflow:
   host packet bytes -> (B, W) word image -> device header field reads ->
   Rice cursor scans (channels chained by end-position) -> predictor
-  scans -> unmix/shift -> (B, C, S) PCM.  Frames whose headers use
-  features outside the device fast path (partial frames, DSE/FIL,
-  17..30-tap predictors, mismatched layouts) raise a per-lane error flag
-  and fall back to the scalar oracle on host.
+  scans -> unmix/shift -> (B, C, S) PCM.  The production program
+  compiles the 8-tap FIR walk only; lanes carrying 9..16- or 17..30-tap
+  streams flag a per-lane error and re-decode through lazily compiled
+  taps=16 / taps=30 programs (still device speed — the full legal
+  5-bit order range).  Only frames outside the device grammar by
+  policy (DSE/FIL elements, mismatched layouts, corruption) fall back
+  to the scalar oracle on host.
 """
 
 from __future__ import annotations
@@ -767,18 +770,24 @@ def _sfield(words, off: int, n: int):
     return jnp.right_shift(a, 32 - ph - n) & jnp.uint32((1 << n) - 1)
 
 
-def _parse_ph(ph):
-    """Split a 16-bit channel-param header into (mode, den, pbf, order)."""
+def _parse_ph(ph, max_ord: int = kALACMaxCoefs):
+    """Split a 16-bit channel-param header into (mode, den, pbf, order).
+
+    max_ord: largest order this program's parse/scan supports (16 for
+    the standard programs, 30 for the lazy high-order retry — the
+    5-bit field's full legal range, reference: ALACDecoder.cpp reads
+    up to 31 coefs)."""
     mode = (ph >> 12).astype(I32) & 0xF
     den = ((ph >> 8) & 0xF).astype(I32)
     pbf = ((ph >> 5) & 0x7).astype(I32)
     order = (ph & 0x1F).astype(I32)
-    perr = ((order > kALACMaxCoefs) & (order != 31)) | (
+    perr = ((order > max_ord) & (order != 31)) | (
         (den == 0) & (order != 0) & (order != 31))
     return (mode, den, pbf, order), perr
 
 
-def _decode_params_static(words, is_cpe: bool):
+def _decode_params_static(words, is_cpe: bool,
+                          max_ord: int = kALACMaxCoefs):
     """Header/param parse for single-element packets WITHOUT gathers.
 
     The element header, mix token, and channel-0 params sit at static
@@ -786,27 +795,30 @@ def _decode_params_static(words, is_cpe: bool):
     legal values), so its 17 fields come from a static 16-bit-stride
     field table selected per lane by order0 — ~300 cheap (B,) selects
     replace the ~10 ms of per-lane gathers the generic path pays
-    (measured by prof_trunc.py).  Returns (params list, end_bits of the
-    non-escape header, err)."""
+    (measured by prof_trunc.py).  max_ord widens the accepted order
+    range and the coef tables (30 for the lazy high-order retry
+    program).  Returns (params list, end_bits of the non-escape
+    header, err)."""
     c_ph0 = 23 + (16 if is_cpe else 0)
     # deepest static read: ch1's field table at order0 up to 31
-    deep = c_ph0 + 16 + 16 * ((47 if is_cpe else kALACMaxCoefs) + 1)
+    deep = c_ph0 + 16 + 16 * ((31 + max_ord if is_cpe else max_ord) + 1)
     need = deep // 32 + 2
     if words.shape[1] < need:
         words = jnp.pad(words, ((0, 0), (0, need - words.shape[1])))
     ph0 = _sfield(words, c_ph0, 16)
-    (mode0, den0, pbf0, order0), perr = _parse_ph(ph0)
+    (mode0, den0, pbf0, order0), perr = _parse_ph(ph0, max_ord)
     coefs0 = sign_extend(jnp.stack(
         [_sfield(words, c_ph0 + 16 + 16 * j, 16)
-         for j in range(kALACMaxCoefs)], axis=1).astype(I32), 16)
+         for j in range(max_ord)], axis=1).astype(I32), 16)
     params = [(mode0, den0, pbf0, order0, coefs0)]
     end = c_ph0 + 16 + 16 * order0
     if is_cpe:
         # field table H[m] = 16 bits at c_ph0+16+16m; ph1 = H[order0],
-        # coefs1[j] = H[order0+1+j] (order0 <= 16, or the 31-tap mode)
-        o_vals = list(range(kALACMaxCoefs + 1)) + [31]
+        # coefs1[j] = H[order0+1+j] (order0 <= max_ord, or the 31-tap
+        # mode)
+        o_vals = list(range(max_ord + 1)) + [31]
         H = [_sfield(words, c_ph0 + 16 + 16 * m, 16)
-             for m in range(max(o_vals) + 1 + kALACMaxCoefs + 1)]
+             for m in range(max(o_vals) + 1 + max_ord + 1)]
 
         def sel(fn):
             out = fn(o_vals[0])
@@ -815,27 +827,27 @@ def _decode_params_static(words, is_cpe: bool):
             return out
 
         ph1 = sel(lambda ov: H[ov])
-        (mode1, den1, pbf1, order1), perr1 = _parse_ph(ph1)
+        (mode1, den1, pbf1, order1), perr1 = _parse_ph(ph1, max_ord)
         perr = perr | perr1
         coefs1 = sign_extend(jnp.stack(
             [sel(lambda ov, j=j: H[ov + 1 + j])
-             for j in range(kALACMaxCoefs)], axis=1).astype(I32), 16)
+             for j in range(max_ord)], axis=1).astype(I32), 16)
         params.append((mode1, den1, pbf1, order1, coefs1))
         end = end + 16 + 16 * order1
     return params, end, perr
 
 
-def _decode_channel_params(words, bitpos):
+def _decode_channel_params(words, bitpos, max_ord: int = kALACMaxCoefs):
     ph = rice._read_bits(words, bitpos, 16)
     mode = (ph >> 12) & 0xF
     den = ((ph >> 8) & 0xF).astype(I32)
     pbf = ((ph >> 5) & 0x7).astype(I32)
     order = (ph & 0x1F).astype(I32)
     bitpos = bitpos + 16
-    cv = _extract_samples(words, bitpos, kALACMaxCoefs, 16, 16)
+    cv = _extract_samples(words, bitpos, max_ord, 16, 16)
     coefs = sign_extend(cv.astype(I32), 16)
     bitpos = bitpos + 16 * order
-    err = ((order > kALACMaxCoefs) & (order != 31)) | (
+    err = ((order > max_ord) & (order != 31)) | (
         (den == 0) & (order != 0) & (order != 31))
     return (mode.astype(I32), den, pbf, order, coefs), bitpos, err
 
@@ -866,12 +878,14 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
                          taps: int | None = 8):
     """Jit core: (B, W) word image -> ((B, C, S) pcm, (B,) err flags).
 
-    taps statically specializes the fused scan's FIR body (see
-    fused_decode.decode_channel): the production program compiles ONLY
-    the 8-tap walk; lanes carrying 9..16-tap streams flag err and the
-    host re-runs them through a lazily compiled taps=16 program
-    (JaxCodec.decode_frames) — halves the XLA compile time of the
-    common program.
+    taps statically specializes the fused scan's FIR body and the
+    header parse's order bound (see fused_decode.decode_channel): the
+    production program compiles ONLY the 8-tap walk; lanes carrying
+    higher-order streams flag err and the host re-runs them through a
+    lazily compiled taps=16 (then taps=30 — the 5-bit field's full
+    legal range, reference: ALACDecoder.cpp 32-wide coef buffers)
+    program (JaxCodec.decode_frames_ex) — so EVERY legal order decodes
+    at device speed while the common program stays small.
 
     stop_at truncates the program for in-context profiling
     (prof_trunc.py): "params" stops after header/param parsing,
@@ -887,6 +901,10 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
     bitpos = jnp.zeros((B,), dtype=I32)
     err = jnp.zeros((B,), dtype=bool)
     num = None  # per-lane decoded sample count (partial/tail frames)
+    # the parse accepts orders up to the compiled walk's width (never
+    # below 16: the taps=8 program still parses 9..16-tap headers so
+    # those lanes err cleanly instead of desyncing)
+    max_ord = max(kALACMaxCoefs, taps if taps is not None else 0)
 
     # single-element packets start at bit 0: every header field is at a
     # static (or order0-determined) offset — parse without gathers
@@ -948,13 +966,15 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
             mixres_f = jnp.where(esc, 0, mixres_f)
 
         if fast_hdr:
-            params, end_nonesc, perr = _decode_params_static(w_hdr, is_cpe)
+            params, end_nonesc, perr = _decode_params_static(
+                w_hdr, is_cpe, max_ord)
             err = err | (~esc & perr)
             bitpos = jnp.where(esc, pos_esc, end_nonesc + partial_bits)
         else:
             params = []
             for _ in range(width):
-                p, bitpos_n, perr = _decode_channel_params(words, bitpos)
+                p, bitpos_n, perr = _decode_channel_params(
+                    words, bitpos, max_ord)
                 bitpos = jnp.where(esc, bitpos, bitpos_n)
                 err = err | (~esc & perr)
                 params.append(p)
@@ -1178,18 +1198,20 @@ class JaxCodec:
             err = np.asarray(err)[:n]
             out[off:off + n] = pcm
             nums[off:off + n] = np.asarray(num)[:n]
-            if err.any():
-                # widespread errors usually mean a legal 9..16-tap stream
-                # (the production program compiles only the 8-tap FIR
-                # body); re-run through the lazily compiled 16-tap
-                # program before paying the scalar-oracle cliff.  The
-                # threshold keeps corruption fuzzing (a few bad lanes)
-                # from triggering a pointless compile.
-                if err.sum() * 4 >= n and n >= 64:
-                    pcm16, err16, num16 = self._decode(wdev, taps=16)
-                    fixed = err & ~np.asarray(err16)[:n]
-                    out[off:off + n][fixed] = np.asarray(pcm16)[:n][fixed]
-                    nums[off:off + n][fixed] = np.asarray(num16)[:n][fixed]
+            # widespread errors usually mean a legal higher-order stream
+            # (the production program compiles only the 8-tap FIR body);
+            # re-run through the lazily compiled 16- then 30-tap programs
+            # (the 5-bit order field's full legal range) before paying
+            # the scalar-oracle cliff.  The threshold keeps corruption
+            # fuzzing (a few bad lanes) from triggering pointless
+            # compiles.
+            for retry_taps in (16, 30):
+                if err.any() and err.sum() * 4 >= n and n >= 64:
+                    pcm_r, err_r, num_r = self._decode(wdev,
+                                                       taps=retry_taps)
+                    fixed = err & ~np.asarray(err_r)[:n]
+                    out[off:off + n][fixed] = np.asarray(pcm_r)[:n][fixed]
+                    nums[off:off + n][fixed] = np.asarray(num_r)[:n][fixed]
                     err = err & ~fixed
             if err.any():
                 dec = OracleDecoder(cfg)

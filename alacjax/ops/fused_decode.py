@@ -51,8 +51,8 @@ from ..types import (
 from .jaxutils import I32, U32, clz32, iota1, lg3a, sign_extend, sign_of_int
 
 _U32_ONE = np.uint32(1)
-_W = kALACMaxCoefs + 1  # predictor lags
 _N_RICE = 7             # rice-state slots in the carry
+_MAX_TAPS = 30          # largest 5-bit order that is not the mode-31 special
 
 
 def _fetch_window4(blk, rel, max_rel):
@@ -233,12 +233,17 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
     bound.  Returns (samples (B, S) i32, end_bits (B,) i32,
     error (B,) bool).
 
-    ``taps`` specializes the FIR body statically: taps=8 compiles ONLY
-    the 8-tap walk (lanes with 8 < numactive <= 16 get the error flag —
-    the codec re-runs them through a lazily compiled taps=16 program);
-    taps=16 compiles only the full walk; None keeps both under a runtime
-    lax.cond (tests / unfused paths).  Compiling one body instead of two
-    roughly halves the decode program's XLA compile time.
+    ``taps`` specializes the FIR body statically AND sizes the scan
+    carry (taps+1 lag registers + taps coef registers per lane, so the
+    production 8-tap program carries 9+8 predictor slots instead of
+    17+16): taps=8 compiles ONLY the 8-tap walk (lanes with
+    numactive > 8 get the error flag — the codec re-runs them through a
+    lazily compiled taps=16 or taps=30 program); taps up to _MAX_TAPS=30
+    covers every legal 5-bit order (the reference decoder's coef buffers
+    are 32 wide, codec/ALACDecoder.cpp, even though its encoder emits
+    <= 16); None keeps 8/16 under a runtime lax.cond (tests / unfused
+    paths).  Compiling one body instead of two roughly halves the
+    decode program's XLA compile time.
 
     ``raw=True`` returns the signed residual stream (exactly what the
     oracle's ag.dyn_decomp emits) instead of reconstructed samples —
@@ -291,7 +296,7 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
 
     # predictor per-lane params
     na = jnp.asarray(numactive, I32)
-    na_eff = jnp.clip(na, 1, kALACMaxCoefs)
+    na_eff = jnp.clip(na, 1, _MAX_TAPS)
     den = jnp.maximum(jnp.asarray(denshift, I32), 1)
     denhalf = jnp.left_shift(jnp.int32(1), den - 1).astype(I32)
     mode_nz = jnp.asarray(mode, I32) != 0
@@ -300,8 +305,8 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
 
     def substep(st, pred_st, blk, blk_base, g, nk):
         c = st[4]
-        lags = pred_st[:_W]
-        coefs = pred_st[_W:_W + kALACMaxCoefs]
+        lags = pred_st[:nk + 1]
+        coefs = pred_st[nk + 1:nk + 1 + nk]
         s1_acc, acc31 = pred_st[-2], pred_st[-1]
         na_k = jnp.minimum(na_eff, nk)
 
@@ -398,13 +403,18 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
                 jnp.zeros((B,), dtype=U32), jnp.zeros((B,), dtype=U32),
                 jnp.zeros((B,), dtype=I32), jnp.zeros((B,), dtype=bool),
                 base0)
-    coef_cols0 = tuple(jnp.asarray(coefs0, I32)[:, k]
-                       for k in range(kALACMaxCoefs))
-    pred_st0 = (zero,) * _W + coef_cols0 + (zero, zero)
-    carry0 = rice_st0 + blk0 + pred_st0
+    coefs0_arr = jnp.asarray(coefs0, I32)
 
     def run(nk):
         def go():
+            # carry sized to the tap bound: nk+1 lags + nk coef registers
+            # (callers may pass a narrower coef table; pad with zeros —
+            # lanes with na > its width are error-flagged anyway)
+            coef_cols0 = tuple(
+                coefs0_arr[:, k] if k < coefs0_arr.shape[1] else zero
+                for k in range(nk))
+            pred_st0 = (zero,) * (nk + 1) + coef_cols0 + (zero, zero)
+            carry0 = rice_st0 + blk0 + pred_st0
             final, outs = jax.lax.scan(make_step(nk), carry0, None,
                                        length=n_steps)
             # outs: G-tuple of (n_steps, B) -> (B, n_steps*G) sample order
@@ -413,14 +423,16 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
         return go
 
     # our encoder (and the reference's) emits orders 4/8 plus the 0/31
-    # special modes; the 8-tap body is the production one
-    if taps == 8:
-        samples, end_bits, err = run(8)()
-        big = (na > 8) & (na != 31)
-        return samples, end_bits, err | big
+    # special modes; the 8-tap body is the production one.  Lanes whose
+    # order exceeds the compiled walk flag err; the codec's lazy retry
+    # ladder (taps 8 -> 16 -> 30) re-runs them on a wider program.
     if taps is not None:
-        return run(min(taps, kALACMaxCoefs))()
+        nk = min(taps, _MAX_TAPS)
+        samples, end_bits, err = run(nk)()
+        big = (na > nk) & (na != 31)
+        return samples, end_bits, err | big
     small = jnp.all((na <= 8) | (na == 31))
     samples, end_bits, err = jax.lax.cond(
         small, run(8), run(kALACMaxCoefs))
-    return samples, end_bits, err
+    big = (na > kALACMaxCoefs) & (na != 31)
+    return samples, end_bits, err | big
