@@ -64,7 +64,48 @@ def make_music(nf: int, S: int, seed: int = 7) -> np.ndarray:
     return np.transpose(pcm, (1, 0, 2)).copy()  # (nf, 2, S)
 
 
+def require_backend(max_tries: int = 9, wait_s: float = 45.0) -> None:
+    """Fail-soft against transient TPU-tunnel outages: probe the backend
+    and, if it is unavailable (observed live: axon init hangs or raises
+    UNAVAILABLE for minutes at a time), re-exec this process after a
+    pause.  A failed backend init poisons jax's in-process plugin state,
+    so retrying requires a fresh process, not a fresh call."""
+    import os
+    tries = int(os.environ.get("ALACJAX_BENCH_TRIES", "0"))
+    import multiprocessing as mp
+    # probe in a child so a HANGING init (not just a raising one) is
+    # also caught; the child shares nothing with this process's jax
+    proc = mp.get_context("spawn").Process(
+        target=_probe_backend_child, daemon=True)
+    proc.start()
+    proc.join(timeout=90.0)
+    ok = proc.exitcode == 0
+    if proc.is_alive():
+        proc.terminate()
+        proc.join()
+    if ok:
+        return
+    if tries + 1 >= max_tries:
+        print(json.dumps({"metric": "backend unavailable",
+                          "value": 0, "unit": "frames/s",
+                          "vs_baseline": 0,
+                          "detail": {"error": "TPU backend unavailable "
+                                     f"after {max_tries} probes"}}))
+        sys.exit(1)
+    os.environ["ALACJAX_BENCH_TRIES"] = str(tries + 1)
+    sys.stderr.write(f"[bench] backend unavailable (probe {tries + 1}/"
+                     f"{max_tries}); retrying in {wait_s:.0f}s\n")
+    time.sleep(wait_s)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+def _probe_backend_child() -> None:
+    import jax
+    jax.devices()
+
+
 def main() -> int:
+    require_backend()
     import jax
 
     # Persistent compilation cache: TPU compiles of the full pipeline are

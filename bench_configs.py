@@ -44,6 +44,8 @@ CONFIGS = [
 
 
 def main() -> int:
+    from bench import require_backend
+    require_backend()
     import jax
     import os
     jax.config.update("jax_compilation_cache_dir", os.path.join(
