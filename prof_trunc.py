@@ -27,16 +27,23 @@ def main():
     import jax.numpy as jnp
     from alacjax import codec as C
     from alacjax.types import AlacConfig
-    from bench import make_music
 
     S = 4096
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    config = AlacConfig(bit_depth=16, num_channels=2, frame_length=S,
-                        sample_rate=44100)
+    # argv[4]: config selector (stage costs differ hugely by config)
+    name = sys.argv[4] if len(sys.argv) > 4 else "stereo16"
+    kw = {"stereo16": dict(bit_depth=16, num_channels=2),
+          "mono16": dict(bit_depth=16, num_channels=1),
+          "hires24": dict(bit_depth=24, num_channels=2),
+          "surround51": dict(bit_depth=16, num_channels=6),
+          "escape32": dict(bit_depth=32, num_channels=2)}[name]
+    config = AlacConfig(frame_length=S, sample_rate=44100, **kw)
     nw = (config.max_escape_packet_bytes(S) + 3) // 4 + 2
 
-    pcm = make_music(B, S)
+    from bench_configs import gen
+    pcm = gen("escape" if name == "escape32" else "music",
+              B, S, config.num_channels, config.bit_depth).astype(np.int32)
     x0 = jnp.asarray(pcm)
     words0, _ = jax.jit(lambda p: C.encode_frames_device(
         p, config=config, num_words=nw))(x0)
