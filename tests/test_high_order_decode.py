@@ -30,47 +30,73 @@ pytestmark = pytest.mark.slow  # device-compile-heavy (fast tier: -m "not slow")
 S = 256
 
 
-def build_packet(cfg, pcm, orders, modes, mixres=2):
+def build_packet(cfg, pcm, orders, modes, mixres=2, denshifts=None,
+                 pbfs=None, mixbits=DEFAULT_MIX_BITS, bytes_shifted=0,
+                 buf_bytes=None):
     """Assemble a legal packet with forced per-channel predictor orders
     (bitstream grammar per docs/BITSTREAM.md; reference:
     ALACEncoder.cpp element layout, with the search replaced by the
-    given fixed parameters)."""
-    bits = BitBuffer(byte_size=cfg.max_escape_packet_bytes(cfg.frame_length))
+    given fixed parameters).
+
+    The optional knobs open the rest of the wire grammar for the
+    differential fuzz (tests/test_grammar_fuzz.py): per-channel
+    denshift/pb-factor, per-element mixbits/mixres, and a forced
+    bytesShifted (the reference decoder reads all of these blind from
+    the header — ALACDecoder.cpp channel-parameter parse)."""
+    if buf_bytes is None:
+        # forced weak predictors on hostile content can exceed the
+        # escape bound our real encoder never crosses; size generously
+        buf_bytes = 4 * cfg.max_escape_packet_bytes(cfg.frame_length) + 256
+    bits = BitBuffer(byte_size=buf_bytes)
     num = pcm.shape[1]
+    nch = cfg.num_channels
+    denshifts = ([DENSHIFT_DEFAULT] * nch if denshifts is None
+                 else list(denshifts))
+    pbfs = [PB_FACTOR] * nch if pbfs is None else list(pbfs)
+    bs = bytes_shifted
     ch = 0
     tag_counters = {}
     for tag, width in cfg.elements:
         instance = tag_counters.get(int(tag), 0)
         tag_counters[int(tag)] = instance + 1
-        _write_element_header(bits, tag, instance, False, 0, False, num)
+        _write_element_header(bits, tag, instance, False, bs, False, num)
+        his, los = [], []
+        for i in range(width):
+            hi, lo = matrix.shift_off(pcm[ch + i].astype(np.int64), bs)
+            his.append(hi)
+            los.append(lo)
         if width == 2:
-            chanbits = cfg.bit_depth + 1
-            bits.write(DEFAULT_MIX_BITS, 8)
+            chanbits = cfg.bit_depth - 8 * bs + 1
+            bits.write(mixbits, 8)
             bits.write(mixres & 0xFF, 8)
-            u, v = matrix.mix(pcm[ch].astype(np.int64),
-                              pcm[ch + 1].astype(np.int64),
-                              DEFAULT_MIX_BITS, mixres)
+            u, v = matrix.mix(his[0], his[1], mixbits, mixres)
             streams = [u, v]
         else:
-            chanbits = cfg.bit_depth
-            streams = [pcm[ch].astype(np.int64)]
+            chanbits = cfg.bit_depth - 8 * bs
+            streams = [his[0]]
         residuals = []
         for i, s in enumerate(streams):
             order, mode = orders[ch + i], modes[ch + i]
+            den, pbf = denshifts[ch + i], pbfs[ch + i]
             coefs = np.zeros(32, dtype=np.int64)
-            coefs[:3] = dp.init_coefs(DENSHIFT_DEFAULT)[:3]
+            coefs[:3] = dp.init_coefs(max(den, 1))[:3]
             crng = np.random.default_rng(1000 * order + ch + i)
             if order > 3:
                 coefs[3:order] = crng.integers(-64, 64, order - 3)
             c = coefs.copy()
-            res = dp.pc_block(s, c, order, chanbits, DENSHIFT_DEFAULT)
+            res = dp.pc_block(s, c, order, chanbits, den)
             if mode:
                 res = dp.pc_block(res, c[:0], 31, chanbits, 0)
-            _write_channel_params(bits, mode, DENSHIFT_DEFAULT, PB_FACTOR,
-                                  coefs, order)
+            _write_channel_params(bits, mode, den, pbf, coefs, order)
             residuals.append(res)
-        for res in residuals:
-            ag.dyn_comp(_rice_params(cfg, num, PB_FACTOR), bits, res, num,
+        if bs:
+            # interleaved shift-byte block between the params and the
+            # Rice streams (ALACEncoder.cpp shift-buffer write order)
+            for j in range(num):
+                for i in range(width):
+                    bits.write(int(los[i][j]), 8 * bs)
+        for i, res in enumerate(residuals):
+            ag.dyn_comp(_rice_params(cfg, num, pbfs[ch + i]), bits, res, num,
                         chanbits)
         ch += width
     bits.write(int(ElementTag.END), 3)
