@@ -136,6 +136,58 @@ def test_fuzz_multielement_full_orders():
         _assert_all_agree(cfg, pkts, metas, taps=30)
 
 
+def test_dse_fil_streams_through_public_device_api():
+    """Streams carrying DSE/FIL elements (legal, never emitted by our
+    encoder) decode host-only by policy (docs/ARCHITECTURE.md): the
+    device program must flag err — never silently misdecode a 3-bit tag
+    it doesn't parse — and the public API must return oracle-identical
+    PCM via the fallback.  Native parses and skips them like the
+    reference (ALACDecoder.cpp DataStreamElement/FillElement)."""
+    from alacjax.bitbuffer import BitBuffer
+    from alacjax.codec import JaxCodec
+    from alacjax.oracle import ALACEncoder
+    from alacjax.types import ElementTag
+
+    cfg = AlacConfig(bit_depth=16, num_channels=1, frame_length=S)
+    rng = np.random.default_rng(6)
+    pkts, pcms = [], []
+    for i in range(B):
+        x = gen_pcm(rng, KINDS[i % len(KINDS)], 1, S, 16)
+        body = ALACEncoder(cfg, independent_frames=True).encode_packet(x)
+        bits = BitBuffer(byte_size=len(body) + 64)
+        bits.write(int(ElementTag.FIL), 3)
+        bits.write(3, 4)
+        bits.write(0xABCDEF, 24)
+        bits.write(int(ElementTag.DSE), 3)
+        bits.write(0, 4)
+        bits.write(1, 1)                 # byte-align flag
+        bits.write(2, 8)
+        bits.byte_align(add_zeros=True)
+        bits.write(0xBEEF, 16)
+        rd = BitBuffer(body)
+        total = len(body) * 8
+        while rd.get_position() < total:
+            take = min(32, total - rd.get_position())
+            bits.write(rd.read(take), take)
+        pkts.append(bits.to_bytes())
+        pcms.append(x)
+    ref = np.stack(pcms)
+
+    nd = native.NativeDecoder(cfg)
+    for i, p in enumerate(pkts):
+        y, got = nd.decode_packet(p)
+        assert got == S
+        np.testing.assert_array_equal(y[:, :S], ref[i])
+
+    words = bitpack.bytes_to_words(pkts, _num_words(cfg))
+    _, err, _ = decode_frames_jit(jax.numpy.asarray(words), cfg, S, 8)
+    assert np.asarray(err).all()
+
+    codec = JaxCodec(cfg, chunk=B)
+    out = codec.decode_frames(pkts)
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_bs_deviant_flags_err_and_oracle_native_agree():
     """bytesShifted deviating from the depth-derived value (legal wire,
     never emitted by known encoders) must flag err on the device (the
