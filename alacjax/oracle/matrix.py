@@ -41,11 +41,19 @@ def shift_off(x: np.ndarray, bytes_shifted: int) -> tuple[np.ndarray, np.ndarray
 
 
 def shift_in(x: np.ndarray, shift_vals: np.ndarray, bytes_shifted: int) -> np.ndarray:
-    """Re-insert shifted-off low bytes (matrix_dec.c :: unmix24/unmix32)."""
+    """Re-insert shifted-off low bytes (matrix_dec.c :: unmix24/unmix32).
+
+    The result wraps to int32 like the reference's int32_t output store:
+    reachable only on hostile streams (non-convex mix parameters can
+    leave the high part wider than 32 - 8*bytes_shifted bits); identity
+    on anything a real encoder emits.  Keeps the oracle in lockstep with
+    the native/device decoders' i32 arithmetic (tests/test_grammar_fuzz
+    depth-32 case)."""
     if bytes_shifted == 0:
         return np.asarray(x, dtype=np.int64)
     shift = bytes_shifted * 8
-    return (np.asarray(x, dtype=np.int64) << shift) | np.asarray(shift_vals, dtype=np.int64)
+    return _wrap_i32((np.asarray(x, dtype=np.int64) << shift)
+                     | np.asarray(shift_vals, dtype=np.int64))
 
 
 def mix(left: np.ndarray, right: np.ndarray, mixbits: int, mixres: int):

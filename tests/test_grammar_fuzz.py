@@ -136,6 +136,27 @@ def test_fuzz_multielement_full_orders():
         _assert_all_agree(cfg, pkts, metas, taps=30)
 
 
+@pytest.mark.parametrize("depth", [20, 24, 32])
+def test_fuzz_deep_depths_with_shift_channel(depth):
+    """Random grammar at the deeper depths: the depth-derived shift-byte
+    side channel (device-native) combined with randomized predictor and
+    Rice parameters."""
+    from alacjax.oracle.encoder import bytes_shifted_for_depth
+
+    cfg = AlacConfig(bit_depth=depth, num_channels=2, frame_length=S)
+    bs = bytes_shifted_for_depth(depth)
+    rng = np.random.default_rng(600 + depth)
+    pkts, metas = [], []
+    for i in range(B):
+        pcm = gen_pcm(rng, KINDS[i % len(KINDS)], 2, S, depth)
+        orders, modes, dens, pbfs, mixbits, mixres = _rand_params(rng, 2, 8)
+        pkts.append(build_packet(cfg, pcm, orders, modes, mixres=mixres,
+                                 denshifts=dens, pbfs=pbfs, mixbits=mixbits,
+                                 bytes_shifted=bs))
+        metas.append((orders, modes, dens, pbfs, mixbits, mixres))
+    _assert_all_agree(cfg, pkts, metas, taps=8)
+
+
 def test_dse_fil_streams_through_public_device_api():
     """Streams carrying DSE/FIL elements (legal, never emitted by our
     encoder) decode host-only by policy (docs/ARCHITECTURE.md): the
