@@ -47,30 +47,78 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _probe_jax_child(platforms) -> None:
+    import jax
+    if platforms:
+        # jax.config.update is the override that actually works in this
+        # environment (the env var alone does not steer a process whose
+        # sitecustomize imports jax at interpreter start)
+        jax.config.update("jax_platforms", platforms)
+    import jax.numpy as jnp
+    int(jnp.zeros((1,), jnp.int32).sum())
+
+
+def _jax_backend_usable(timeout_s: float = 60.0) -> bool:
+    """Probe the jax backend in a CHILD process.  Importing jax is not
+    enough (backend init can fail at first compute when no accelerator
+    is reachable) — and probing in-process is not enough either: a
+    device-tunnel outage can make init HANG rather than raise (observed
+    live on the axon platform), and a failed init poisons jax's
+    in-process plugin state.  A spawned child bounds the probe and
+    leaves this process's jax untouched."""
+    import multiprocessing as mp
+    import os
+    import sys as _sys
+
+    # already past backend init in this process (e.g. the test tier,
+    # or a long-lived host app): the hang risk is gone, probe in-place
+    jx = _sys.modules.get("jax")
+    if jx is not None:
+        try:
+            from jax._src import xla_bridge
+            inited = bool(getattr(xla_bridge, "_backends", None))
+        except Exception:
+            inited = False
+        if inited:
+            try:
+                import jax.numpy as jnp
+                int(jnp.zeros((1,), jnp.int32).sum())
+                return True
+            except Exception:
+                return False
+
+    try:
+        # probe the SAME platform this process will use: an in-process
+        # jax.config override (the test tier pins "cpu" that way) or
+        # the JAX_PLATFORMS env var, passed explicitly because the
+        # child applies it via jax.config.update (the override that
+        # works under this environment's jax-importing sitecustomize)
+        platforms = (getattr(getattr(jx, "config", None), "jax_platforms",
+                             None) if jx is not None else None)
+        platforms = platforms or os.environ.get("JAX_PLATFORMS")
+        proc = mp.get_context("spawn").Process(
+            target=_probe_jax_child, args=(platforms,), daemon=True)
+        proc.start()
+        proc.join(timeout=timeout_s)
+        ok = proc.exitcode == 0
+        if proc.is_alive():
+            proc.terminate()
+            proc.join()
+        return ok
+    except Exception:
+        return False
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     backend = args.backend
     if backend is None:
-        try:
-            from .convert import get_backend
-            get_backend("jax")
-            # importing jax is not enough — probe an actual device op
-            # (backend init can fail at first compute, e.g. when no
-            # accelerator is reachable)
-            import jax.numpy as jnp
-            int(jnp.zeros((1,), jnp.int32).sum())
-            backend = "jax"
-        except Exception:
-            backend = "oracle"
-    elif backend == "jax":
-        try:
-            import jax.numpy as jnp
-            int(jnp.zeros((1,), jnp.int32).sum())
-        except Exception as e:
-            print(f"alacconvert: jax backend unavailable ({e}); "
-                  "falling back to oracle", file=sys.stderr)
-            backend = "oracle"
+        backend = "jax" if _jax_backend_usable() else "oracle"
+    elif backend == "jax" and not _jax_backend_usable():
+        print("alacconvert: jax backend unavailable (device probe failed "
+              "or timed out); falling back to oracle", file=sys.stderr)
+        backend = "oracle"
 
     import time
 
