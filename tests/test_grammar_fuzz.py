@@ -136,6 +136,45 @@ def test_fuzz_multielement_full_orders():
         _assert_all_agree(cfg, pkts, metas, taps=30)
 
 
+def test_fuzz_partial_frames_random_params():
+    """Partial (tail) frames — every real stream's last packet — with
+    randomized legal parameters and random per-packet sample counts,
+    batched together with full frames: the per-lane num mask must ride
+    the device scans (round-3 device-native partial decode) and agree
+    with the oracle and native decoders sample-for-sample."""
+    cfg = AlacConfig(bit_depth=16, num_channels=2, frame_length=S)
+    rng = np.random.default_rng(500)
+    pkts, metas, nums = [], [], []
+    for i in range(B):
+        n = S if i % 4 == 0 else int(rng.integers(1, S))
+        pcm = gen_pcm(rng, KINDS[i % len(KINDS)], 2, S, 16)[:, :n]
+        orders, modes, dens, pbfs, mixbits, mixres = _rand_params(rng, 2, 8)
+        pkts.append(build_packet(cfg, pcm, orders, modes, mixres=mixres,
+                                 denshifts=dens, pbfs=pbfs, mixbits=mixbits))
+        metas.append((n, orders, modes, dens, pbfs, mixbits, mixres))
+        nums.append(n)
+
+    dec = ALACDecoder(cfg)
+    refs = [dec.decode_packet(p) for p in pkts]
+    nd = native.NativeDecoder(cfg)
+    for i, p in enumerate(pkts):
+        y, got = nd.decode_packet(p)
+        assert got == nums[i], metas[i]
+        np.testing.assert_array_equal(y[:, :got], refs[i][0],
+                                      err_msg=str(metas[i]))
+
+    words = bitpack.bytes_to_words(pkts, _num_words(cfg))
+    pcm_d, err, num_d = decode_frames_jit(jax.numpy.asarray(words), cfg, S, 8)
+    err = np.asarray(err)
+    assert not err.any(), [m for m, e in zip(metas, err) if e]
+    np.testing.assert_array_equal(np.asarray(num_d), nums)
+    pcm_d = np.asarray(pcm_d)
+    for i in range(B):
+        np.testing.assert_array_equal(pcm_d[i, :, :nums[i]], refs[i][0],
+                                      err_msg=str(metas[i]))
+        assert (pcm_d[i, :, nums[i]:] == 0).all()
+
+
 @pytest.mark.parametrize("depth", [20, 24, 32])
 def test_fuzz_deep_depths_with_shift_channel(depth):
     """Random grammar at the deeper depths: the depth-derived shift-byte

@@ -48,7 +48,8 @@ def build_packet(cfg, pcm, orders, modes, mixres=2, denshifts=None,
         # escape bound our real encoder never crosses; size generously
         buf_bytes = 4 * cfg.max_escape_packet_bytes(cfg.frame_length) + 256
     bits = BitBuffer(byte_size=buf_bytes)
-    num = pcm.shape[1]
+    num = pcm.shape[1]          # num < frame_length -> partial (tail) frame
+    partial = num < cfg.frame_length
     nch = cfg.num_channels
     denshifts = ([DENSHIFT_DEFAULT] * nch if denshifts is None
                  else list(denshifts))
@@ -59,7 +60,7 @@ def build_packet(cfg, pcm, orders, modes, mixres=2, denshifts=None,
     for tag, width in cfg.elements:
         instance = tag_counters.get(int(tag), 0)
         tag_counters[int(tag)] = instance + 1
-        _write_element_header(bits, tag, instance, False, bs, False, num)
+        _write_element_header(bits, tag, instance, partial, bs, False, num)
         his, los = [], []
         for i in range(width):
             hi, lo = matrix.shift_off(pcm[ch + i].astype(np.int64), bs)
