@@ -221,7 +221,11 @@ def _search_channels(streams, chanbits_list, config, banks=None, nums=None):
             od, stg = orders[ki // len(stages)], stages[ki % len(stages)]
             hit = win == ki
             order_win = jnp.where(hit, od, order_win)
-            mode_win = jnp.where(hit, 0 if stg == 1 else 1, mode_win)
+            # two-stage mode is written as 15 on the wire — the
+            # reference encoder's value (third-party decoders like
+            # libavcodec cascade ONLY on 15; any nonzero decodes as
+            # cascade in ours/Apple's decoder)
+            mode_win = jnp.where(hit, 0 if stg == 1 else 15, mode_win)
         res_win = by_order[orders[0]]
         coefs0_win = by_c0[orders[0]]
         for od in orders[1:]:
@@ -229,7 +233,7 @@ def _search_channels(streams, chanbits_list, config, banks=None, nums=None):
             res_win = jnp.where(sel, by_order[od], res_win)
             coefs0_win = jnp.where(sel, by_c0[od], coefs0_win)
         if len(stages) > 1:
-            res_win = jnp.where((mode_win == 1)[:, None],
+            res_win = jnp.where((mode_win != 0)[:, None],
                                 predict.wrap_diff(res_win, chanbits), res_win)
         res_list.append(res_win)
         order_list.append(order_win)
@@ -442,7 +446,10 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
         e["coefs0_win"] = coefs0_l[sl]
         e["adapted"] = adapted_l[sl]
         is_cpe, width = e["is_cpe"], e["width"]
-        hdr_bits = (23 + (16 if is_cpe else 0) + width * 16
+        # +16: mixBits/mixRes are present in EVERY non-escape element
+        # (mono writes 0,0) — reference grammar confirmed vs libavcodec
+        # (tests/test_ffmpeg_interop.py)
+        hdr_bits = (23 + 16 + width * 16
                     + 16 * sum(e["orders_win"]))
         if nums is None:
             shift_bits = width * S * 8 * bs
@@ -488,7 +495,7 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
     # (absolute start offsets are closed-form in the search results)
     rice_feed, rice_starts, rice_cb = [], [], []
     for e in elems:
-        hdr_len = (23 + (16 if e["is_cpe"] else 0) + e["width"] * 16
+        hdr_len = (23 + 16 + e["width"] * 16
                    + 16 * sum(e["orders_win"]))
         if nums is None:
             pos = e["start"] + hdr_len + e["width"] * S * 8 * bs
@@ -540,6 +547,11 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             mixtok = (jnp.uint32(DEFAULT_MIX_BITS << 8)
                       | (e["mixres_win"].astype(U32) & 0xFF))
             hv.append(mixtok[:, None]); hl.append(jnp.full((B, 1), 16, I32))
+        else:
+            # mono: mixBits/mixRes written as (0, 0) — present in every
+            # non-escape element per the reference grammar
+            hv.append(jnp.zeros((B, 1), U32))
+            hl.append(jnp.full((B, 1), 16, I32))
         for ci in range(width):
             hv.append(_chparam_token(e["orders_win"][ci],
                                      e["modes_win"][ci])[:, None])
@@ -799,7 +811,9 @@ def _decode_params_static(words, is_cpe: bool,
     range and the coef tables (30 for the lazy high-order retry
     program).  Returns (params list, end_bits of the non-escape
     header, err)."""
-    c_ph0 = 23 + (16 if is_cpe else 0)
+    # +16: mixBits/mixRes precede the channel params in EVERY
+    # non-escape element (mono: written as 0,0 and ignored)
+    c_ph0 = 23 + 16
     # deepest static read: ch1's field table at order0 up to 31
     deep = c_ph0 + 16 + 16 * ((31 + max_ord if is_cpe else max_ord) + 1)
     need = deep // 32 + 2
@@ -964,6 +978,10 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
             # escape lanes: neutralize header-dependent values
             mixbits_f = jnp.where(esc, 0, mixbits_f)
             mixres_f = jnp.where(esc, 0, mixres_f)
+        else:
+            # mono elements carry the 16 mixBits/mixRes bits too (0,0
+            # from every known encoder) — skip blind, like the reference
+            bitpos = bitpos + jnp.where(esc, 0, 16)
 
         if fast_hdr:
             params, end_nonesc, perr = _decode_params_static(

@@ -503,7 +503,7 @@ void search_channel(const Config& cfg, EncState* st, const int32_t* stream,
       if (stage == 2) {
         pc_block(res1.data(), res2.data(), num, nullptr, 31, chanbits, 0);
         res = res2.data();
-        mode = 1;
+        mode = 15;  // reference wire value for the two-stage cascade
       }
       size_t cost =
           16 + 16 * (size_t)order + rice_cost_bits(cfg, res, num, chanbits);
@@ -585,7 +585,10 @@ void encode_element(const Config& cfg, EncState* st, BitWriter& bw,
     for (int ci = 0; ci < nch; ci++)
       search_channel(cfg, st, hi[ci], num, chanbits, ch_index + ci, &win[ci]);
   }
-  size_t body_bits = is_cpe ? 16 : 0;
+  // 16 = mixBits/mixRes: present in EVERY non-escape element (mono
+  // writes them as 0,0) — the reference decoder reads them blind;
+  // confirmed vs libavcodec (tests/test_ffmpeg_interop.py)
+  size_t body_bits = 16;
   for (int ci = 0; ci < nch; ci++) body_bits += win[ci].cost;
   body_bits += (size_t)num * nch * 8 * bs;
 
@@ -611,6 +614,9 @@ void encode_element(const Config& cfg, EncState* st, BitWriter& bw,
   if (is_cpe) {
     bw.write((uint32_t)DEFAULT_MIX_BITS, 8);
     bw.write((uint32_t)mixres & 0xFF, 8);
+  } else {
+    bw.write(0, 8);  // mixBits (mono: always 0)
+    bw.write(0, 8);  // mixRes  (mono: always 0)
   }
   for (int ci = 0; ci < nch; ci++) {
     bw.write((uint32_t)((win[ci].mode << 4) | kDenshift), 8);
@@ -656,6 +662,9 @@ int decode_element_channels(const Config& cfg, BitReader& br, int32_t* out0,
   if (is_cpe) {
     mixbits = (int)br.read(8);
     mixres = sign_extend(br.read(8), 8);
+  } else {
+    br.read(8);  // mixBits: present in mono too, read and ignore
+    br.read(8);  // mixRes
   }
   struct ChP { int mode, den, pbf, order; int16_t coefs[32]; } chp[2];
   for (int ci = 0; ci < nch; ci++) {

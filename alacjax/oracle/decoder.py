@@ -165,6 +165,13 @@ class ALACDecoder:
 
         if not escape:
             chanbits = cfg.bit_depth - 8 * bytes_shifted
+            # mixBits/mixRes are present in EVERY non-escape element —
+            # mono included, written as (0, 0) — and read blind (the
+            # reference decoder does the same; confirmed vs libavcodec,
+            # tests/test_ffmpeg_interop.py).  Values are meaningless
+            # without a second channel; read and ignore.
+            bits.read(8)
+            bits.read(8)
             mode, den, pbf, order, coefs = self._read_channel_params(bits)
 
             shift = np.zeros(num_samples, dtype=np.int64)

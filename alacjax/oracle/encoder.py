@@ -53,7 +53,7 @@ from . import ag, dp, matrix
 DEFAULT_MIX_BITS = 2
 MAX_RES = 4
 SEARCH_ORDERS = (4, 8)
-SEARCH_STAGES = (1, 2)   # 1 = FIR only (mode 0); 2 = FIR + first-diff (mode 1)
+SEARCH_STAGES = (1, 2)   # 1 = FIR only (mode 0); 2 = FIR + first-diff (mode 15)
 MIXRES_DILATE = 4        # mixres trial subsampling (reference uses dilation)
 FAST_ORDER = 8
 FAST_MIX_RES = 2
@@ -222,7 +222,10 @@ class ALACEncoder:
                     res, mode = res1, 0
                 else:
                     res = dp.pc_block(res1, coefs[:0], 31, chanbits, 0)
-                    mode = 1
+                    # wire value 15, matching the reference encoder
+                    # (libavcodec cascades only on 15; decoders accept
+                    # any nonzero)
+                    mode = 15
                 cost = 16 + 16 * order + self._rice_cost(
                     res, num_samples, chanbits)
                 if best is None or cost < best["cost"]:
@@ -306,7 +309,12 @@ class ALACEncoder:
 
         win = self._search_channel(s_hi, ch_index, chanbits, num_samples)
 
-        body_bits = win["cost"] + num_samples * 8 * bs
+        # the 16 = mixBits/mixRes, written as (0, 0) in mono too — the
+        # reference emits them in EVERY non-escape element and its
+        # decoder reads them unconditionally (confirmed against
+        # libavcodec's independent implementation, which interops with
+        # Apple's: tests/test_ffmpeg_interop.py)
+        body_bits = 16 + win["cost"] + num_samples * 8 * bs
         escape_bits = num_samples * cfg.bit_depth
         if body_bits >= escape_bits:
             _write_element_header(bits, tag, instance, partial, 0, True, num_samples)
@@ -316,6 +324,8 @@ class ALACEncoder:
 
         self._coef_banks[(ch_index, win["order"])] = win["coefs_adapted"]
         _write_element_header(bits, tag, instance, partial, bs, False, num_samples)
+        bits.write(0, 8)   # mixBits (always 0 for mono)
+        bits.write(0, 8)   # mixRes (always 0 for mono)
         _write_channel_params(bits, win["mode"], DENSHIFT_DEFAULT, PB_FACTOR,
                               win["coefs0"], win["order"])
         if bs:

@@ -1,0 +1,207 @@
+/* Third-party interop shim: drive libavcodec's independent ALAC codec
+ * (FFmpeg, an implementation written from the same public spec/code drop
+ * as ours but sharing no code with this repo) from the test suite.
+ *
+ * Purpose (SURVEY.md §4 item 4, VERDICT r02 missing item 1): with
+ * /root/reference an empty mount, bit-exact parity against the real
+ * reference binary is unprovable — an independent decoder accepting our
+ * streams losslessly, and our decoder accepting an independent
+ * encoder's streams, is the strongest available stand-in.
+ *
+ * Test-only code: built lazily by tests/test_ffmpeg_interop.py with
+ *   gcc -O2 -shared -fPIC alac_ff.c -lavcodec -lavutil
+ * and skipped (not failed) when libavcodec is absent.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+#include <libavcodec/avcodec.h>
+#include <libavutil/channel_layout.h>
+
+/* ---------------- decoder ---------------- */
+
+typedef struct {
+    AVCodecContext *ctx;
+    AVPacket *pkt;
+    AVFrame *frame;
+} DecHandle;
+
+void *alacff_open_decoder(const uint8_t *extradata, int extradata_size,
+                          int nch, int sample_rate)
+{
+    const AVCodec *codec = avcodec_find_decoder(AV_CODEC_ID_ALAC);
+    if (!codec)
+        return NULL;
+    AVCodecContext *ctx = avcodec_alloc_context3(codec);
+    if (!ctx)
+        return NULL;
+    ctx->extradata = av_mallocz(extradata_size + AV_INPUT_BUFFER_PADDING_SIZE);
+    memcpy(ctx->extradata, extradata, extradata_size);
+    ctx->extradata_size = extradata_size;
+    av_channel_layout_default(&ctx->ch_layout, nch);
+    ctx->sample_rate = sample_rate;
+    if (avcodec_open2(ctx, codec, NULL) < 0) {
+        avcodec_free_context(&ctx);
+        return NULL;
+    }
+    DecHandle *h = av_mallocz(sizeof(DecHandle));
+    h->ctx = ctx;
+    h->pkt = av_packet_alloc();
+    h->frame = av_frame_alloc();
+    return h;
+}
+
+/* Decode one packet -> planar int32 (nch x max_samples, row-major).
+ * Returns the number of samples per channel, or <0 on error.
+ * sample values are returned exactly as libavcodec produces them
+ * (S16P widened to int32; S32P raw — the caller undoes FFmpeg's
+ * MSB-justification for 20/24-bit streams). */
+int alacff_decode_packet(void *handle, const uint8_t *data, int size,
+                         int32_t *out, int max_samples)
+{
+    DecHandle *h = (DecHandle *)handle;
+    int ret;
+    av_packet_unref(h->pkt);
+    if (av_new_packet(h->pkt, size) < 0)
+        return -1000;
+    memcpy(h->pkt->data, data, size);
+    ret = avcodec_send_packet(h->ctx, h->pkt);
+    if (ret < 0)
+        return ret;
+    ret = avcodec_receive_frame(h->ctx, h->frame);
+    if (ret < 0)
+        return ret;
+    int ns = h->frame->nb_samples;
+    if (ns > max_samples)
+        return -1001;
+    int nch = h->ctx->ch_layout.nb_channels;
+    for (int c = 0; c < nch; c++) {
+        int32_t *dst = out + (size_t)c * max_samples;
+        if (h->frame->format == AV_SAMPLE_FMT_S16P) {
+            const int16_t *src = (const int16_t *)h->frame->data[c];
+            for (int i = 0; i < ns; i++)
+                dst[i] = src[i];
+        } else if (h->frame->format == AV_SAMPLE_FMT_S32P) {
+            memcpy(dst, h->frame->data[c], (size_t)ns * 4);
+        } else {
+            return -1002;
+        }
+    }
+    av_frame_unref(h->frame);
+    return ns;
+}
+
+void alacff_close_decoder(void *handle)
+{
+    DecHandle *h = (DecHandle *)handle;
+    avcodec_free_context(&h->ctx);
+    av_packet_free(&h->pkt);
+    av_frame_free(&h->frame);
+    av_free(h);
+}
+
+/* ---------------- encoder ---------------- */
+
+typedef struct {
+    AVCodecContext *ctx;
+    AVPacket *pkt;
+    AVFrame *frame;
+    int depth; /* 16 -> S16P, else S32P */
+} EncHandle;
+
+/* Open FFmpeg's ALAC encoder.  Writes the codec extradata (the magic
+ * cookie as FFmpeg emits it) into extradata_out, its length into
+ * *extradata_len (in: capacity).  Returns handle or NULL. */
+void *alacff_open_encoder(int nch, int sample_rate, int depth,
+                          int frame_len, uint8_t *extradata_out,
+                          int *extradata_len)
+{
+    const AVCodec *codec = avcodec_find_encoder(AV_CODEC_ID_ALAC);
+    if (!codec)
+        return NULL;
+    AVCodecContext *ctx = avcodec_alloc_context3(codec);
+    if (!ctx)
+        return NULL;
+    ctx->sample_fmt = depth == 16 ? AV_SAMPLE_FMT_S16P : AV_SAMPLE_FMT_S32P;
+    ctx->sample_rate = sample_rate;
+    av_channel_layout_default(&ctx->ch_layout, nch);
+    if (frame_len > 0)
+        ctx->frame_size = frame_len; /* encoder may override after open */
+    if (avcodec_open2(ctx, codec, NULL) < 0) {
+        avcodec_free_context(&ctx);
+        return NULL;
+    }
+    if (ctx->extradata_size > *extradata_len) {
+        avcodec_free_context(&ctx);
+        return NULL;
+    }
+    memcpy(extradata_out, ctx->extradata, ctx->extradata_size);
+    *extradata_len = ctx->extradata_size;
+    EncHandle *h = av_mallocz(sizeof(EncHandle));
+    h->ctx = ctx;
+    h->pkt = av_packet_alloc();
+    h->frame = av_frame_alloc();
+    h->depth = depth;
+    return h;
+}
+
+int alacff_encoder_frame_size(void *handle)
+{
+    return ((EncHandle *)handle)->ctx->frame_size;
+}
+
+/* Send nsamples (<= frame_size; 0 = flush) of planar int32 PCM
+ * (nch x nsamples, row-major, right-aligned at depth) and try to
+ * receive one packet into out.  Returns packet size (0 = none yet,
+ * <0 = error). */
+int alacff_encode_frame(void *handle, const int32_t *pcm, int nsamples,
+                        uint8_t *out, int out_cap)
+{
+    EncHandle *h = (EncHandle *)handle;
+    int ret;
+    if (nsamples > 0) {
+        av_frame_unref(h->frame);
+        h->frame->nb_samples = nsamples;
+        h->frame->format = h->ctx->sample_fmt;
+        av_channel_layout_copy(&h->frame->ch_layout, &h->ctx->ch_layout);
+        if (av_frame_get_buffer(h->frame, 0) < 0)
+            return -1000;
+        int nch = h->ctx->ch_layout.nb_channels;
+        for (int c = 0; c < nch; c++) {
+            const int32_t *src = pcm + (size_t)c * nsamples;
+            if (h->ctx->sample_fmt == AV_SAMPLE_FMT_S16P) {
+                int16_t *dst = (int16_t *)h->frame->data[c];
+                for (int i = 0; i < nsamples; i++)
+                    dst[i] = (int16_t)src[i];
+            } else {
+                memcpy(h->frame->data[c], src, (size_t)nsamples * 4);
+            }
+        }
+        ret = avcodec_send_frame(h->ctx, h->frame);
+    } else {
+        ret = avcodec_send_frame(h->ctx, NULL); /* flush */
+    }
+    if (ret < 0 && ret != AVERROR(EAGAIN))
+        return ret;
+    ret = avcodec_receive_packet(h->ctx, h->pkt);
+    if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF)
+        return 0;
+    if (ret < 0)
+        return ret;
+    if (h->pkt->size > out_cap)
+        return -1001;
+    memcpy(out, h->pkt->data, h->pkt->size);
+    int sz = h->pkt->size;
+    av_packet_unref(h->pkt);
+    return sz;
+}
+
+void alacff_close_encoder(void *handle)
+{
+    EncHandle *h = (EncHandle *)handle;
+    avcodec_free_context(&h->ctx);
+    av_packet_free(&h->pkt);
+    av_frame_free(&h->frame);
+    av_free(h);
+}

@@ -112,6 +112,7 @@ def test_decoder_two_stage_prediction_mode(rng):
                       chanbits, 0)
     bits = BitBuffer(byte_size=4 * FRAME)
     _write_element_header(bits, ElementTag.SCE, 0, False, 0, False, FRAME)
+    bits.write(0, 16)  # mixBits/mixRes: present in mono elements too
     _write_channel_params(bits, 1, 9, 4, coefs0, order)
     ag_mod.dyn_comp(_rice_params(cfg, FRAME, 4), bits, res, FRAME, chanbits)
     bits.write(int(ElementTag.END), 3)
@@ -180,8 +181,10 @@ def test_golden_stream_hash_pinned(rng):
     assert digest == GOLDEN_SINE_16_2_SHA256, digest
 
 
-# regenerated 2026-08-16: search dialect v2 — exact dilated mixres trial
-# + per-channel order x stage candidates (two-stage cascade, mode != 0)
+# regenerated 2026-08-18: reference-grammar alignment via libavcodec
+# interop — mixBits/mixRes present in EVERY element (mono writes 0,0)
+# and the two-stage cascade's wire mode is 15 (not 1); see
+# tests/test_ffmpeg_interop.py
 GOLDEN_SINE_16_2_SHA256 = (
-    "7a558800e8da2fe1127e87856a2fd64dc06e1d48dc517528d763a165c1de72df"
+    "6d78c55d44c4fd254568d7c5e8fe8949989c3b823df3f31c951c9a10142cf50d"
 )

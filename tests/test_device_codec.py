@@ -81,6 +81,7 @@ def test_device_decode_two_stage_mode_on_device(rng):
     res = dp.pc_block(res_fir, np.zeros(kALACMaxCoefs, dtype=np.int64), 31, 16, 0)
     bits = BitBuffer(byte_size=4 * S)
     _write_element_header(bits, ElementTag.SCE, 0, False, 0, False, S)
+    bits.write(0, 16)  # mixBits/mixRes: present in mono elements too
     _write_channel_params(bits, 1, 9, 4, coefs0, 8)
     ag_mod.dyn_comp(_rice_params(cfg, S, 4), bits, res, S, 16)
     bits.write(int(ElementTag.END), 3)

@@ -74,6 +74,8 @@ def build_packet(cfg, pcm, orders, modes, mixres=2, denshifts=None,
             streams = [u, v]
         else:
             chanbits = cfg.bit_depth - 8 * bs
+            bits.write(0, 8)   # mixBits: present in mono elements too
+            bits.write(0, 8)   # mixRes
             streams = [his[0]]
         residuals = []
         for i, s in enumerate(streams):
