@@ -18,6 +18,7 @@
 
 #include <libavcodec/avcodec.h>
 #include <libavutil/channel_layout.h>
+#include <libavutil/opt.h>
 
 /* ---------------- decoder ---------------- */
 
@@ -113,9 +114,9 @@ typedef struct {
 /* Open FFmpeg's ALAC encoder.  Writes the codec extradata (the magic
  * cookie as FFmpeg emits it) into extradata_out, its length into
  * *extradata_len (in: capacity).  Returns handle or NULL. */
-void *alacff_open_encoder(int nch, int sample_rate, int depth,
-                          int frame_len, uint8_t *extradata_out,
-                          int *extradata_len)
+void *alacff_open_encoder2(int nch, int sample_rate, int depth,
+                           int frame_len, int min_order, int max_order,
+                           uint8_t *extradata_out, int *extradata_len)
 {
     const AVCodec *codec = avcodec_find_encoder(AV_CODEC_ID_ALAC);
     if (!codec)
@@ -123,6 +124,12 @@ void *alacff_open_encoder(int nch, int sample_rate, int depth,
     AVCodecContext *ctx = avcodec_alloc_context3(codec);
     if (!ctx)
         return NULL;
+    if (min_order > 0)
+        av_opt_set_int(ctx, "min_prediction_order", min_order,
+                       AV_OPT_SEARCH_CHILDREN);
+    if (max_order > 0)
+        av_opt_set_int(ctx, "max_prediction_order", max_order,
+                       AV_OPT_SEARCH_CHILDREN);
     ctx->sample_fmt = depth == 16 ? AV_SAMPLE_FMT_S16P : AV_SAMPLE_FMT_S32P;
     ctx->sample_rate = sample_rate;
     av_channel_layout_default(&ctx->ch_layout, nch);
@@ -144,6 +151,14 @@ void *alacff_open_encoder(int nch, int sample_rate, int depth,
     h->frame = av_frame_alloc();
     h->depth = depth;
     return h;
+}
+
+void *alacff_open_encoder(int nch, int sample_rate, int depth,
+                          int frame_len, uint8_t *extradata_out,
+                          int *extradata_len)
+{
+    return alacff_open_encoder2(nch, sample_rate, depth, frame_len, 0, 0,
+                                extradata_out, extradata_len);
 }
 
 int alacff_encoder_frame_size(void *handle)

@@ -61,9 +61,10 @@ class FF:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
         lib.alacff_close_decoder.argtypes = [ctypes.c_void_p]
-        lib.alacff_open_encoder.restype = ctypes.c_void_p
-        lib.alacff_open_encoder.argtypes = [
+        lib.alacff_open_encoder2.restype = ctypes.c_void_p
+        lib.alacff_open_encoder2.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int)]
         lib.alacff_encoder_frame_size.restype = ctypes.c_int
         lib.alacff_encoder_frame_size.argtypes = [ctypes.c_void_p]
@@ -104,15 +105,18 @@ class FF:
 
     # -- encode with FFmpeg ---------------------------------------------
     def encode_stream(self, pcm: np.ndarray, depth: int, rate: int,
-                      frame_len: int) -> tuple[bytes, list[bytes]]:
+                      frame_len: int, min_order: int = 0,
+                      max_order: int = 0) -> tuple[bytes, list[bytes]]:
         """(nch, n) int64 -> (cookie24/48, packets).  FFmpeg's extradata
         is the 36-byte atom form; the returned cookie strips the 12-byte
-        prefix (our parse_cookie handles either)."""
+        prefix (our parse_cookie handles either).  min/max_order force
+        FFmpeg's prediction-order range (0 = its defaults 4..6)."""
         nch, n = pcm.shape
         ed = (ctypes.c_uint8 * 256)()
         edlen = ctypes.c_int(256)
-        h = self.lib.alacff_open_encoder(nch, rate, depth, frame_len, ed,
-                                         ctypes.byref(edlen))
+        h = self.lib.alacff_open_encoder2(nch, rate, depth, frame_len,
+                                          min_order, max_order, ed,
+                                          ctypes.byref(edlen))
         assert h, "ffmpeg ALAC encoder failed to open"
         pkts = []
         buf = (ctypes.c_uint8 * (1 << 20))()
@@ -247,6 +251,112 @@ def test_ffmpeg_encode_our_oracle_and_native_decode(ff, rng):
         np.testing.assert_array_equal(y[:, :ns], pcm[:, off:off + ns])
         off += ns
     assert off == n
+
+
+def test_ffmpeg_24bit_encode_our_decode(ff, rng):
+    """FFmpeg's s32p mode encodes 24-bit ALAC (top 24 bits of s32):
+    its hi-res streams must decode losslessly through our oracle and
+    native decoders — incl. the bytesShifted=1 shift channel."""
+    from alacjax import native
+    from alacjax.cookie import parse_cookie
+    from alacjax.oracle import ALACDecoder
+
+    n = 2 * 4096
+    vals = gen_pcm(rng, "sine", 2, n, 24) + gen_pcm(rng, "noise", 2, n, 8)
+    vals = np.clip(vals, -(1 << 23), (1 << 23) - 1)
+    cookie, pkts = ff.encode_stream(vals << 8, 32, 96000, 4096)
+    cfg = parse_cookie(cookie)
+    assert cfg.bit_depth == 24
+    dec = ALACDecoder(cfg)
+    nd = native.NativeDecoder(cfg)
+    off = 0
+    for p in pkts:
+        y, ns = dec.decode_packet(p)
+        np.testing.assert_array_equal(y[:, :ns], vals[:, off:off + ns])
+        yn, nsn = nd.decode_packet(p)
+        np.testing.assert_array_equal(yn[:, :nsn], vals[:, off:off + ns])
+        off += ns
+    assert off == n
+
+
+def test_ffmpeg_surround51_encode_our_decode(ff, rng):
+    """FFmpeg-encoded 5.1 (its own element layout choices) through our
+    oracle decoder, channel order mapped per FF_51_ORDER."""
+    from alacjax.cookie import parse_cookie
+    from alacjax.oracle import ALACDecoder
+
+    n = 4096
+    pcm = gen_pcm(rng, "sine", 6, n, 16) + np.arange(6)[:, None] * 13
+    cookie, pkts = ff.encode_stream(pcm, 16, 48000, 4096)
+    cfg = parse_cookie(cookie)
+    assert cfg.num_channels == 6
+    y, ns = ALACDecoder(cfg).decode_packet(pkts[0])
+    assert ns == n
+    # our element-order channel i corresponds to ff input FF_51_ORDER[i]
+    np.testing.assert_array_equal(y, pcm[FF_51_ORDER])
+
+
+def test_ffmpeg_high_order_encode_our_decode(ff, rng):
+    """FFmpeg forced to prediction orders 20..30: independent streams
+    deep in the 5-bit order range (our encoder stops at 8) through our
+    oracle and native decoders (32-wide coef buffers, like the
+    reference's)."""
+    from alacjax import native
+    from alacjax.bitbuffer import BitBuffer
+    from alacjax.cookie import parse_cookie
+    from alacjax.oracle import ALACDecoder
+
+    n = 2 * 4096
+    t = np.arange(n)
+    pcm = np.stack([
+        np.clip(9000 * np.sin(t * 0.0043) + 3000 * np.sin(t * 0.071)
+                + rng.integers(-50, 50, n), -32768, 32767),
+        np.clip(8000 * np.sin(t * 0.0087 + 1), -32768, 32767),
+    ]).astype(np.int64)
+    cookie, pkts = ff.encode_stream(pcm, 16, 44100, 4096,
+                                    min_order=20, max_order=30)
+    cfg = parse_cookie(cookie)
+    b = BitBuffer(pkts[0])
+    b.advance(23 + 16)
+    order0 = b.read(16) & 31
+    assert order0 >= 20, order0  # the option took effect
+    dec = ALACDecoder(cfg)
+    nd = native.NativeDecoder(cfg)
+    off = 0
+    for p in pkts:
+        y, ns = dec.decode_packet(p)
+        np.testing.assert_array_equal(y[:, :ns], pcm[:, off:off + ns])
+        yn, _ = nd.decode_packet(p)
+        np.testing.assert_array_equal(yn[:, :ns], pcm[:, off:off + ns])
+        off += ns
+    assert off == n
+
+
+@pytest.mark.slow
+def test_ffmpeg_high_order_encode_our_device_decode(ff, rng):
+    """FFmpeg's order-20..30 streams through our DEVICE retry ladder
+    (taps=16/30 programs), oracle-identical."""
+    from alacjax.codec import JaxCodec
+    from alacjax.cookie import parse_cookie
+    from alacjax.oracle import ALACDecoder
+
+    n = 64 * 4096  # ladder engages at >= 64 erring lanes per chunk
+    t = np.arange(n)
+    pcm = np.stack([
+        np.clip(9000 * np.sin(t * 0.0043) + rng.integers(-30, 30, n),
+                -32768, 32767),
+        np.clip(8000 * np.sin(t * 0.0087 + 1) + rng.integers(-30, 30, n),
+                -32768, 32767),
+    ]).astype(np.int64)
+    cookie, pkts = ff.encode_stream(pcm, 16, 44100, 4096,
+                                    min_order=17, max_order=30)
+    cfg = parse_cookie(cookie)
+    codec = JaxCodec(cfg, chunk=len(pkts))
+    out = codec.decode_frames(pkts)
+    got = np.concatenate(list(out), axis=1)[:, :n]
+    np.testing.assert_array_equal(got, pcm)
+    assert any(k[0] in ("dec16", "dec30") for k in codec._exe), (
+        "expected the high-order device ladder to engage")
 
 
 @pytest.mark.slow
