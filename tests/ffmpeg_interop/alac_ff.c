@@ -220,3 +220,102 @@ void alacff_close_encoder(void *handle)
     av_frame_free(&h->frame);
     av_free(h);
 }
+
+/* ---------------- container-level interop (CAF) ---------------- */
+
+#include <libavformat/avformat.h>
+
+/* Demux + decode an ALAC .caf file via libavformat/libavcodec — the
+ * third-party validation of our L4 container writer (chunk layout,
+ * BER packet table, kuki cookie placement; containers/caf.py).
+ * out: planar int32 (nch x max_samples, row-major).  Returns total
+ * samples per channel, or <0 on error. */
+int alacff_decode_caf(const char *path, int32_t *out, int max_samples,
+                      int *nch_out, int *rate_out)
+{
+    AVFormatContext *fmt = NULL;
+    AVCodecContext *ctx = NULL;
+    AVPacket *pkt = NULL;
+    AVFrame *frame = NULL;
+    int ret = -2000, stream_idx = -1, total = 0;
+
+    if (avformat_open_input(&fmt, path, NULL, NULL) < 0)
+        return -2001;
+    if (avformat_find_stream_info(fmt, NULL) < 0)
+        goto done;
+    for (unsigned i = 0; i < fmt->nb_streams; i++) {
+        if (fmt->streams[i]->codecpar->codec_id == AV_CODEC_ID_ALAC) {
+            stream_idx = (int)i;
+            break;
+        }
+    }
+    if (stream_idx < 0) {
+        ret = -2002;
+        goto done;
+    }
+    {
+        const AVCodec *codec = avcodec_find_decoder(AV_CODEC_ID_ALAC);
+        ctx = avcodec_alloc_context3(codec);
+        if (!ctx || avcodec_parameters_to_context(
+                        ctx, fmt->streams[stream_idx]->codecpar) < 0
+            || avcodec_open2(ctx, codec, NULL) < 0) {
+            ret = -2003;
+            goto done;
+        }
+    }
+    *nch_out = ctx->ch_layout.nb_channels;
+    *rate_out = ctx->sample_rate;
+    pkt = av_packet_alloc();
+    frame = av_frame_alloc();
+    while (av_read_frame(fmt, pkt) >= 0) {
+        if (pkt->stream_index != stream_idx) {
+            av_packet_unref(pkt);
+            continue;
+        }
+        if (avcodec_send_packet(ctx, pkt) < 0) {
+            ret = -2004;
+            goto done;
+        }
+        av_packet_unref(pkt);
+        while (1) {
+            int r = avcodec_receive_frame(ctx, frame);
+            if (r == AVERROR(EAGAIN) || r == AVERROR_EOF)
+                break;
+            if (r < 0) {
+                ret = -2005;
+                goto done;
+            }
+            int ns = frame->nb_samples;
+            if (total + ns > max_samples) {
+                ret = -2006;
+                goto done;
+            }
+            for (int c = 0; c < ctx->ch_layout.nb_channels; c++) {
+                int32_t *dst = out + (size_t)c * max_samples + total;
+                if (frame->format == AV_SAMPLE_FMT_S16P) {
+                    const int16_t *src = (const int16_t *)frame->data[c];
+                    for (int i = 0; i < ns; i++)
+                        dst[i] = src[i];
+                } else if (frame->format == AV_SAMPLE_FMT_S32P) {
+                    memcpy(dst, frame->data[c], (size_t)ns * 4);
+                } else {
+                    ret = -2007;
+                    goto done;
+                }
+            }
+            total += ns;
+            av_frame_unref(frame);
+        }
+    }
+    ret = total;
+done:
+    if (frame)
+        av_frame_free(&frame);
+    if (pkt)
+        av_packet_free(&pkt);
+    if (ctx)
+        avcodec_free_context(&ctx);
+    if (fmt)
+        avformat_close_input(&fmt);
+    return ret;
+}

@@ -37,7 +37,7 @@ def _build_lib():
             and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
         return _SO
     cmd = ["gcc", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO,
-           "-lavcodec", "-lavutil"]
+           "-lavformat", "-lavcodec", "-lavutil"]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired) as e:
@@ -251,6 +251,44 @@ def test_ffmpeg_encode_our_oracle_and_native_decode(ff, rng):
         np.testing.assert_array_equal(y[:, :ns], pcm[:, off:off + ns])
         off += ns
     assert off == n
+
+
+def test_ffmpeg_demuxes_and_decodes_our_caf_file(ff, rng, tmp_path):
+    """Container-level (L4) interop: a complete CAF file from our CLI —
+    desc/kuki/pakt(BER)/data chunks, partial tail packet — demuxed by
+    libavformat and decoded by libavcodec, lossless (validates
+    containers/caf.py against an independent reader)."""
+    import subprocess
+    import sys as _sys
+
+    from alacjax.containers.pcm import pack_pcm
+    from alacjax.containers.wav import WavFile, write_wav
+
+    lib = ff.lib
+    lib.alacff_decode_caf.restype = ctypes.c_int
+    lib.alacff_decode_caf.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
+    n = 3 * 4096 + 333  # partial tail
+    pcm = gen_pcm(rng, "sine", 2, n, 16)
+    wav_in = tmp_path / "in.wav"
+    caf = tmp_path / "ours.caf"
+    write_wav(WavFile(44100, 16, 2, pack_pcm(pcm, 16)), str(wav_in))
+    r = subprocess.run(
+        [_sys.executable, "-m", "alacjax.cli", "--backend", "oracle",
+         str(wav_in), str(caf)], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+
+    cap = n + 4096
+    out = np.zeros((2, cap), dtype=np.int32)
+    nch = ctypes.c_int(0)
+    rate = ctypes.c_int(0)
+    got = lib.alacff_decode_caf(
+        str(caf).encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap, ctypes.byref(nch), ctypes.byref(rate))
+    assert got == n and nch.value == 2 and rate.value == 44100
+    np.testing.assert_array_equal(out[:, :n], pcm)
 
 
 def test_ffmpeg_24bit_encode_our_decode(ff, rng):
