@@ -143,7 +143,15 @@ def read_caf(path_or_bytes) -> CafFile:
         ">d4sIIIII", chunks[b"desc"][:32])
     if fourcc != b"alac":
         raise AlacParamError(f"CAF desc format {fourcc!r} is not alac")
-    if flags not in _FLAG_TO_DEPTH:
+    if flags == 0:
+        # third-party CAF writers (e.g. libavformat's muxer) leave the
+        # Apple depth-encoding flags (1..4) at 0; the kuki cookie is
+        # authoritative for the depth, so fall back to it
+        from ..cookie import parse_cookie
+        depth = parse_cookie(chunks[b"kuki"]).bit_depth
+    elif flags in _FLAG_TO_DEPTH:
+        depth = _FLAG_TO_DEPTH[flags]
+    else:
         raise AlacParamError(f"unknown alac format flags {flags}")
 
     pakt = chunks[b"pakt"]
@@ -165,7 +173,7 @@ def read_caf(path_or_bytes) -> CafFile:
         off += s
 
     return CafFile(
-        sample_rate=int(rate), bit_depth=_FLAG_TO_DEPTH[flags],
+        sample_rate=int(rate), bit_depth=depth,
         num_channels=nch, frames_per_packet=fpp, cookie=chunks[b"kuki"],
         packets=packets, num_valid_frames=num_valid,
         priming_frames=priming, remainder_frames=remainder,

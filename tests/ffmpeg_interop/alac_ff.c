@@ -319,3 +319,95 @@ done:
         avformat_close_input(&fmt);
     return ret;
 }
+
+/* Encode PCM with FFmpeg's ALAC encoder and mux it into a CAF file via
+ * libavformat — a third-party CAF writer whose output our container
+ * reader must parse (containers/caf.py parse leg).
+ * pcm: planar int32 (nch x n).  Returns 0 or <0. */
+int alacff_encode_caf(const char *path, const int32_t *pcm, int nch,
+                      int n, int sample_rate)
+{
+    AVFormatContext *fmt = NULL;
+    AVCodecContext *ctx = NULL;
+    AVStream *st = NULL;
+    AVPacket *pkt = NULL;
+    AVFrame *frame = NULL;
+    int ret = -3000, off = 0, header_open = 0;
+    const AVCodec *codec = avcodec_find_encoder(AV_CODEC_ID_ALAC);
+
+    if (!codec)
+        return -3001;
+    if (avformat_alloc_output_context2(&fmt, NULL, "caf", path) < 0)
+        return -3002;
+    ctx = avcodec_alloc_context3(codec);
+    ctx->sample_fmt = AV_SAMPLE_FMT_S16P;
+    ctx->sample_rate = sample_rate;
+    av_channel_layout_default(&ctx->ch_layout, nch);
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+        ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(ctx, codec, NULL) < 0)
+        goto done;
+    st = avformat_new_stream(fmt, NULL);
+    if (!st || avcodec_parameters_from_context(st->codecpar, ctx) < 0)
+        goto done;
+    st->time_base = (AVRational){1, sample_rate};
+    if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+        goto done;
+    if (avformat_write_header(fmt, NULL) < 0)
+        goto done;
+    header_open = 1;
+    pkt = av_packet_alloc();
+    frame = av_frame_alloc();
+    while (off < n || off == n) { /* one extra loop to flush */
+        int send_flush = off >= n;
+        if (!send_flush) {
+            int ns = n - off < ctx->frame_size ? n - off : ctx->frame_size;
+            av_frame_unref(frame);
+            frame->nb_samples = ns;
+            frame->format = ctx->sample_fmt;
+            av_channel_layout_copy(&frame->ch_layout, &ctx->ch_layout);
+            if (av_frame_get_buffer(frame, 0) < 0)
+                goto done;
+            for (int c = 0; c < nch; c++) {
+                const int32_t *src = pcm + (size_t)c * n + off;
+                int16_t *dst = (int16_t *)frame->data[c];
+                for (int i = 0; i < ns; i++)
+                    dst[i] = (int16_t)src[i];
+            }
+            frame->pts = off;
+            if (avcodec_send_frame(ctx, frame) < 0)
+                goto done;
+            off += ns;
+        } else {
+            avcodec_send_frame(ctx, NULL);
+        }
+        while (1) {
+            int r = avcodec_receive_packet(ctx, pkt);
+            if (r == AVERROR(EAGAIN) || r == AVERROR_EOF)
+                break;
+            if (r < 0)
+                goto done;
+            pkt->stream_index = st->index;
+            if (av_interleaved_write_frame(fmt, pkt) < 0)
+                goto done;
+        }
+        if (send_flush)
+            break;
+    }
+    if (av_write_trailer(fmt) < 0)
+        goto done;
+    ret = 0;
+done:
+    if (frame)
+        av_frame_free(&frame);
+    if (pkt)
+        av_packet_free(&pkt);
+    if (ctx)
+        avcodec_free_context(&ctx);
+    if (fmt) {
+        if (header_open && fmt->pb)
+            avio_closep(&fmt->pb);
+        avformat_free_context(fmt);
+    }
+    return ret;
+}

@@ -291,6 +291,40 @@ def test_ffmpeg_demuxes_and_decodes_our_caf_file(ff, rng, tmp_path):
     np.testing.assert_array_equal(out[:, :n], pcm)
 
 
+def test_our_cli_reads_ffmpeg_muxed_caf(ff, rng, tmp_path):
+    """Inverse container leg: libavformat muxes an ALAC CAF (format
+    flags 0 — third-party writers don't set Apple's depth flags; our
+    reader falls back to the kuki cookie) and our CLI converts it to
+    WAV losslessly."""
+    import subprocess
+    import sys as _sys
+
+    from alacjax.containers.pcm import unpack_pcm
+    from alacjax.containers.wav import read_wav
+
+    lib = ff.lib
+    lib.alacff_encode_caf.restype = ctypes.c_int
+    lib.alacff_encode_caf.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+
+    n = 3 * 4096 + 500  # partial tail
+    pcm = gen_pcm(rng, "sine", 2, n, 16).astype(np.int32)
+    caf = tmp_path / "ff.caf"
+    wav = tmp_path / "ff.wav"
+    flat = np.ascontiguousarray(pcm)
+    rc = lib.alacff_encode_caf(
+        str(caf).encode(),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), 2, n, 44100)
+    assert rc == 0
+    r = subprocess.run(
+        [_sys.executable, "-m", "alacjax.cli", "--backend", "oracle",
+         str(caf), str(wav)], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    got = unpack_pcm(read_wav(str(wav)).data, 16, 2)
+    np.testing.assert_array_equal(got, pcm)
+
+
 def test_ffmpeg_24bit_encode_our_decode(ff, rng):
     """FFmpeg's s32p mode encodes 24-bit ALAC (top 24 bits of s32):
     its hi-res streams must decode losslessly through our oracle and
