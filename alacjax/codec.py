@@ -679,10 +679,6 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
     return words, total_bits, new_banks
 
 
-def _fast_path_ok(config: AlacConfig) -> bool:
-    return (config.bit_depth == 16 and len(config.elements) == 1)
-
-
 @functools.partial(jax.jit, static_argnames=("config", "num_words"))
 def encode_frames_jit(pcm, config: AlacConfig, num_words: int):
     """Single module-level jit entry for encode (static config).
@@ -866,25 +862,35 @@ def _decode_channel_params(words, bitpos, max_ord: int = kALACMaxCoefs):
     return (mode.astype(I32), den, pbf, order, coefs), bitpos, err
 
 
-def _unescape_words16(words, nch: int, S: int):
-    """Escape-sample extraction for depth-16 single-element packets via
-    strided slicing (field bit offsets are affine in the word index) —
-    the inverse of _escape_words16; avoids a (B, S) gather per channel.
+def _unescape_fast(words, depth: int, nch: int, S: int, partial):
+    """Escape-sample extraction for single-element packets at ANY depth:
+    the raw block sits at static bit 23 (55 on partial lanes — exactly
+    one word later at the same phase), so a per-lane word-shifted view +
+    a CONSTANT funnel shift brings it to phase 0 and unpack_fields
+    slices the periodic field layout — no gather (the inverse of the
+    encoder's pack_fields escape image).
 
     Returns list of nch (B, S) int32 channel arrays."""
-    need = (23 + 16 * nch * S + 31) // 32 + 1
+    F = nch * S
+    Wout = (depth * F + 31) // 32
+    need = Wout + 2  # +1 funnel spill, +1 partial word shift
     W = words.shape[1]
-    w = words if W >= need else jnp.pad(words, ((0, 0), (0, need - W)))
-    n_fields = nch * S
-    m = (n_fields + 1) // 2
-    even = ((w[:, 0:m] & 0x1FF) << 7) | (w[:, 1:m + 1] >> 25)
-    odd = (w[:, 1:m + 1] >> 9) & jnp.uint32(0xFFFF)
-    f = jnp.stack([even[:, :m], odd[:, :m]], axis=-1).reshape(
-        w.shape[0], 2 * m)[:, :n_fields]
-    f = sign_extend(f.astype(I32), 16)
-    if nch == 2:
-        return [f[:, 0::2], f[:, 1::2]]
-    return [f]
+    wp = words if W >= need else jnp.pad(words, ((0, 0), (0, need - W)))
+    w0 = jnp.where(partial[:, None], wp[:, 1:need], wp[:, :need - 1])
+    al = jnp.left_shift(w0[:, :-1], 23) | jnp.right_shift(w0[:, 1:], 9)
+    f = sign_extend(bitpack.unpack_fields(al, depth, F).astype(I32), depth)
+    return [f[:, ci::nch] for ci in range(nch)]
+
+
+def _unescape_window(words, pos_esc, depth: int, nch: int, S: int):
+    """Escape-sample extraction at a per-lane dynamic offset (multi-
+    element layouts): ONE word-window gather aligned to phase 0, then
+    the same periodic unpack — ~depth/32 loads per sample instead of
+    _peek32's 2."""
+    F = nch * S
+    seg = bitpack.extract_segment(words, pos_esc, (depth * F + 31) // 32)
+    f = sign_extend(bitpack.unpack_fields(seg, depth, F).astype(I32), depth)
+    return [f[:, ci::nch] for ci in range(nch)]
 
 
 def decode_frames_device(words, config: AlacConfig, num_samples: int,
@@ -1040,13 +1046,17 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
         if stop_at == "scan":  # profiling truncation
             return recon, (bitpos, err)
 
-        # shift side-channel re-insert (static: absent when bs == 0)
+        # shift side-channel re-insert (static: absent when bs == 0).
+        # The block is contiguous (channel-interleaved 8*bs-bit fields),
+        # so ONE phase-aligned window + periodic unpack replaces the
+        # per-sample-per-channel _peek32 gathers.
         if bs:
-            shifts = [
-                _extract_samples(words, pos_shift + ci * 8 * bs, S,
-                                 width * 8 * bs, 8 * bs).astype(I32)
-                for ci in range(width)
-            ]
+            d = 8 * bs
+            seg = bitpack.extract_segment(
+                words, pos_shift, (width * S * d + 31) // 32)
+            sf = bitpack.unpack_fields(seg, d, width * S).astype(I32)
+            sfv = sf.reshape(B, S, width)
+            shifts = [sfv[:, :, ci] for ci in range(width)]
         else:
             shifts = [jnp.zeros((B, S), I32)] * width
 
@@ -1066,20 +1076,12 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
             continue
 
         def with_unesc():
-            if _fast_path_ok(config):
-                # single element at bit 0: field offsets are static ->
-                # sliced (partial lanes: one-word-shifted view, the
-                # escape stream sits after the 32-bit numSamples field)
-                need = (23 + 16 * width * S + 31) // 32 + 2
-                wp = (words if words.shape[1] >= need else
-                      jnp.pad(words, ((0, 0), (0, need - words.shape[1]))))
-                w_esc = jnp.where(partial[:, None], wp[:, 1:], wp[:, :-1])
-                raws = _unescape_words16(w_esc, width, S)
+            if fast_hdr:
+                # single element: the raw block's offset is static (23,
+                # +1 word on partial lanes) at every depth
+                raws = _unescape_fast(words, depth, width, S, partial)
             else:
-                raws = [sign_extend(
-                    _extract_samples(words, pos_esc + ci * depth, S,
-                                     width * depth, depth).astype(I32),
-                    depth) for ci in range(width)]
+                raws = _unescape_window(words, pos_esc, depth, width, S)
             return tuple(jnp.where(esc[:, None], raws[ci], dec[ci])
                          for ci in range(width))
 

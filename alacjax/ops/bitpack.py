@@ -176,6 +176,31 @@ def place_segment(words, phase):
     return hi | lo
 
 
+def extract_segment(words, start_bits, num_out: int):
+    """Inverse of place_segment: cut ``num_out`` phase-0 words starting at
+    a per-lane bit offset from the (B, W) image.
+
+    ONE word-granularity gather (num_out+1 columns) plus a per-lane funnel
+    shift.  For a d-bit field block this replaces per-field _peek32
+    gathers (2 word loads per FIELD) with ~d/32 loads per field — pair
+    with unpack_fields to read contiguous fixed-stride blocks (shift
+    bytes, escape samples; reference reads these bit-serially:
+    codec/ALACDecoder.cpp shift-buffer reads + escape path).
+    """
+    B, W = words.shape
+    w0 = (start_bits >> 5).astype(I32)[:, None]
+    ph = (jnp.asarray(start_bits).astype(U32) & 31)[:, None]
+    flat = words.reshape(-1)
+    rows = iota1(B)[:, None] * W
+    idx = w0 + iota1(num_out + 1)[None, :]
+    wv = jnp.where(idx < W,
+                   flat[rows + jnp.clip(idx, 0, W - 1)], jnp.uint32(0))
+    hi = jnp.where(ph == 0, wv[:, :-1], jnp.left_shift(wv[:, :-1], ph))
+    lo = jnp.where(ph == 0, jnp.uint32(0),
+                   jnp.right_shift(wv[:, 1:], (32 - ph) % 32))
+    return hi | lo
+
+
 def combine_chunks(words, keys, num_words: int, max_dups: int = 8):
     """Merge sparse (absolute word index, word value) chunk streams into a
     dense word image — the scatter-free packet assembler.
