@@ -511,12 +511,29 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
     else:
         cb_arg = jnp.concatenate(
             [jnp.full((B,), cb, dtype=I32) for cb in rice_cb], axis=0)
-    with jax.named_scope("alacjax.rice_words"):
-        cw_all, ck_all, _, ctv_all, ctk_all = rice.rice_encode_words(
+    def emit_rice():
+        return rice.rice_encode_words(
             jnp.concatenate(rice_feed, axis=0), cb_arg, mb0, pb, kb, wb,
             jnp.concatenate(rice_starts, axis=0), bit_size_cap=max(rice_cb),
             emit_flush=False,
             num=None if nums is None else jnp.tile(nums, len(rice_feed)))
+
+    def skip_rice():
+        # every lane of every element escaped (noise content): the Rice
+        # streams are never selected — skip the S-step emission scan.
+        # Empty-slot keys (0xFFFFFFFF) keep the merge invariant; the
+        # escape select replaces all values/tails downstream.
+        w, k, eb, tv, tk = jax.eval_shape(emit_rice)
+        return (jnp.zeros(w.shape, U32),
+                jnp.full(k.shape, 0xFFFFFFFF, U32),
+                jnp.zeros(eb.shape, eb.dtype),
+                jnp.zeros(tv.shape, U32),
+                jnp.full(tk.shape, 0xFFFFFFFF, U32))
+
+    any_comp = ~jnp.all(jnp.stack([e["use_escape"] for e in elems]))
+    with jax.named_scope("alacjax.rice_words"):
+        cw_all, ck_all, _, ctv_all, ctk_all = jax.lax.cond(
+            any_comp, emit_rice, skip_rice)
 
     if stop_at == "rice":  # profiling truncation (prof_trunc.py)
         return (cw_all, ck_all, ctv_all, ctk_all, total_c)
