@@ -60,3 +60,41 @@ def test_place_segment_matches_scalar(rng):
         for j in range(W, -1, -1):
             assert got[b, j] == (acc & 0xFFFFFFFF)
             acc >>= 32
+
+
+def test_extract_segment_matches_scalar(rng):
+    """extract_segment (the decoder's windowed block reader) must cut the
+    exact bit range [start, start + 32*num_out) to phase 0, zero-filling
+    past the image end."""
+    B, W = 5, 12
+    words = rng.integers(0, 1 << 32, (B, W)).astype(np.uint64).astype(
+        np.uint32)
+    starts = np.array([0, 31, 32, 200, 32 * W - 7], dtype=np.int32)
+    num_out = 4
+    got = np.asarray(bitpack.extract_segment(
+        jnp.asarray(words), jnp.asarray(starts), num_out))
+    for b in range(B):
+        acc = 0
+        for j in range(W):
+            acc = (acc << 32) | int(words[b, j])
+        total = 32 * W
+        for j in range(num_out):
+            s = int(starts[b]) + 32 * j
+            if s >= total:
+                want = 0
+            elif s + 32 <= total:
+                want = (acc >> (total - s - 32)) & 0xFFFFFFFF
+            else:  # tail: zero-fill past the image end
+                want = (acc << (s + 32 - total)) & 0xFFFFFFFF
+            assert got[b, j] == want, (b, j)
+
+
+def test_extract_segment_inverts_place_segment(rng):
+    B, W = 4, 7
+    words = rng.integers(0, 1 << 32, (B, W)).astype(np.uint64).astype(
+        np.uint32)
+    phase = np.array([0, 1, 17, 31], dtype=np.int32)
+    placed = bitpack.place_segment(jnp.asarray(words), jnp.asarray(phase))
+    back = np.asarray(bitpack.extract_segment(
+        placed, jnp.asarray(phase), W))
+    np.testing.assert_array_equal(back, words)
