@@ -1052,38 +1052,42 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
             return tuple(jnp.zeros((B, S), I32) for _ in range(width)) + (
                 bitpos, jnp.zeros((B,), bool))
 
-        # when the whole batch escaped (noise content), the Rice streams
-        # don't exist — ONE runtime cond skips every scan of the element
-        # (hoisted from per-channel: each cond dispatch costs ~2 ms)
-        res_t = jax.lax.cond(all_esc, skip_scans, run_scans)
-        recon = list(res_t[:width])
+        if stop_at == "scan":  # profiling truncation
+            res_t = jax.lax.cond(all_esc, skip_scans, run_scans)
+            return list(res_t[:width]), (res_t[width], err | res_t[width + 1])
+
+        # Shift side-channel re-insert + unmix ride INSIDE the same
+        # all-escape cond as the scans (no extra dispatch — each cond
+        # costs ~2 ms): all-escape batches (noise) skip the shift-block
+        # window+unpack and the unmix entirely.  The block is contiguous
+        # (channel-interleaved 8*bs-bit fields), so ONE phase-aligned
+        # window + periodic unpack replaces the per-sample-per-channel
+        # _peek32 gathers.
+        def comp_side():
+            r = run_scans()
+            recon = r[:width]
+            if bs:
+                d = 8 * bs
+                seg = bitpack.extract_segment(
+                    words, pos_shift, (width * S * d + 31) // 32)
+                sf = bitpack.unpack_fields(seg, d, width * S).astype(I32)
+                sfv = sf.reshape(B, S, width)
+                shifts = [sfv[:, :, ci] for ci in range(width)]
+            else:
+                shifts = [jnp.zeros((B, S), I32)] * width
+            if is_cpe:
+                l, rr = matrix.unmix(recon[0], recon[1],
+                                     mixbits_f[:, None], mixres_f[:, None])
+                dec = (matrix.shift_in(l, shifts[0], bs),
+                       matrix.shift_in(rr, shifts[1], bs))
+            else:
+                dec = (matrix.shift_in(recon[0], shifts[0], bs),)
+            return dec + (r[width], r[width + 1])
+
+        res_t = jax.lax.cond(all_esc, skip_scans, comp_side)
+        dec = list(res_t[:width])
         bitpos = res_t[width]
         err = err | res_t[width + 1]
-
-        if stop_at == "scan":  # profiling truncation
-            return recon, (bitpos, err)
-
-        # shift side-channel re-insert (static: absent when bs == 0).
-        # The block is contiguous (channel-interleaved 8*bs-bit fields),
-        # so ONE phase-aligned window + periodic unpack replaces the
-        # per-sample-per-channel _peek32 gathers.
-        if bs:
-            d = 8 * bs
-            seg = bitpack.extract_segment(
-                words, pos_shift, (width * S * d + 31) // 32)
-            sf = bitpack.unpack_fields(seg, d, width * S).astype(I32)
-            sfv = sf.reshape(B, S, width)
-            shifts = [sfv[:, :, ci] for ci in range(width)]
-        else:
-            shifts = [jnp.zeros((B, S), I32)] * width
-
-        if is_cpe:
-            l, r = matrix.unmix(recon[0], recon[1],
-                                mixbits_f[:, None], mixres_f[:, None])
-            dec = [matrix.shift_in(l, shifts[0], bs),
-                   matrix.shift_in(r, shifts[1], bs)]
-        else:
-            dec = [matrix.shift_in(recon[0], shifts[0], bs)]
 
         # escape lanes: raw samples at static stride from pos_esc
         esc_end = pos_esc + width * depth * num
