@@ -772,21 +772,11 @@ def encode_stream_device(pcm, config: AlacConfig, num_words: int):
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
-def _extract_samples(words, base_bits, count: int, stride_bits, width_bits):
-    """Vectorized field array read: sample j at base + j*stride, ``width``
-    bits each.  All of base/stride/width may be per-lane (B,) arrays."""
-    j = iota1(count)[None, :]
-    pos = base_bits[:, None] + j * (stride_bits[:, None]
-                                    if hasattr(stride_bits, "ndim")
-                                    else stride_bits)
-    return rice._read_bits(words, pos, width_bits[:, None]
-                           if hasattr(width_bits, "ndim") else width_bits)
-
-
 def _sfield(words, off: int, n: int):
     """(B,) n-bit field at a STATIC bit offset: pure column slices and
-    constant shifts — no gather.  Usable whenever the element starts at
-    bit 0 (single-element packets, the decode fast path)."""
+    constant shifts — no gather.  Usable whenever the element is bit-0
+    aligned in its view: single-element packets directly, later elements
+    via an extract_segment-aligned window."""
     i, ph = off >> 5, off & 31
     a = words[:, i]
     if ph + n > 32:
@@ -813,17 +803,20 @@ def _parse_ph(ph, max_ord: int = kALACMaxCoefs):
 
 def _decode_params_static(words, is_cpe: bool,
                           max_ord: int = kALACMaxCoefs):
-    """Header/param parse for single-element packets WITHOUT gathers.
+    """Header/param parse on a bit-0-aligned element view, WITHOUT
+    gathers.  Single-element packets pass the word image (optionally
+    partial-shifted); later elements of multichannel layouts pass an
+    extract_segment-aligned window, so EVERY layout parses this way.
 
     The element header, mix token, and channel-0 params sit at static
     bit offsets; channel 1's offset depends only on order0 (5 bits, 18
     legal values), so its 17 fields come from a static 16-bit-stride
     field table selected per lane by order0 — ~300 cheap (B,) selects
-    replace the ~10 ms of per-lane gathers the generic path pays
+    replace the ~10 ms of per-lane gathers the generic path paid
     (measured by prof_trunc.py).  max_ord widens the accepted order
     range and the coef tables (30 for the lazy high-order retry
-    program).  Returns (params list, end_bits of the non-escape
-    header, err)."""
+    program).  Returns (params list, end bits relative to the element
+    start sans the partial numSamples field, err)."""
     # +16: mixBits/mixRes precede the channel params in EVERY
     # non-escape element (mono: written as 0,0 and ignored)
     c_ph0 = 23 + 16
@@ -862,21 +855,6 @@ def _decode_params_static(words, is_cpe: bool,
         params.append((mode1, den1, pbf1, order1, coefs1))
         end = end + 16 + 16 * order1
     return params, end, perr
-
-
-def _decode_channel_params(words, bitpos, max_ord: int = kALACMaxCoefs):
-    ph = rice._read_bits(words, bitpos, 16)
-    mode = (ph >> 12) & 0xF
-    den = ((ph >> 8) & 0xF).astype(I32)
-    pbf = ((ph >> 5) & 0x7).astype(I32)
-    order = (ph & 0x1F).astype(I32)
-    bitpos = bitpos + 16
-    cv = _extract_samples(words, bitpos, max_ord, 16, 16)
-    coefs = sign_extend(cv.astype(I32), 16)
-    bitpos = bitpos + 16 * order
-    err = ((order > max_ord) & (order != 31)) | (
-        (den == 0) & (order != 0) & (order != 31))
-    return (mode.astype(I32), den, pbf, order, coefs), bitpos, err
 
 
 def _unescape_fast(words, depth: int, nch: int, S: int, partial):
@@ -989,12 +967,21 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
                     jnp.pad(words, ((0, 0), (0, ncol + 1 - words.shape[1]))))
             w_hdr = jnp.where(partial[:, None], wpad[:, 1:ncol + 1],
                               wpad[:, :ncol])
+        else:
+            # later elements start at a per-lane dynamic offset: ONE
+            # window gather aligns the element (sans the partial field)
+            # to bit 0 and the SAME gather-free static parse applies —
+            # replaces the per-channel per-field _peek32 gathers the
+            # generic path used to pay (~10 ms/element, prof_trunc)
+            deep = 39 + 16 + 16 * ((31 + max_ord if is_cpe else max_ord)
+                                   + 1)
+            w_hdr = bitpack.extract_segment(words, pos_esc - 23,
+                                            deep // 32 + 2)
 
         chanbits = depth - 8 * bs + (1 if is_cpe else 0)
 
         if is_cpe:
-            mixtok = (_sfield(w_hdr, 23, 16) if fast_hdr
-                      else rice._read_bits(words, bitpos, 16))
+            mixtok = _sfield(w_hdr, 23, 16)
             mixbits_f = (mixtok >> 8).astype(I32)
             mixres_f = sign_extend((mixtok & 0xFF).astype(I32), 8)
             bitpos = bitpos + jnp.where(esc, 0, 16)
@@ -1006,19 +993,12 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
             # from every known encoder) — skip blind, like the reference
             bitpos = bitpos + jnp.where(esc, 0, 16)
 
-        if fast_hdr:
-            params, end_nonesc, perr = _decode_params_static(
-                w_hdr, is_cpe, max_ord)
-            err = err | (~esc & perr)
-            bitpos = jnp.where(esc, pos_esc, end_nonesc + partial_bits)
-        else:
-            params = []
-            for _ in range(width):
-                p, bitpos_n, perr = _decode_channel_params(
-                    words, bitpos, max_ord)
-                bitpos = jnp.where(esc, bitpos, bitpos_n)
-                err = err | (~esc & perr)
-                params.append(p)
+        params, end_rel, perr = _decode_params_static(
+            w_hdr, is_cpe, max_ord)
+        err = err | (~esc & perr)
+        # end_rel is relative to the element start sans the partial
+        # numSamples field == window bit 0 == pos_esc - 23
+        bitpos = jnp.where(esc, pos_esc, pos_esc - 23 + end_rel)
 
         pos_shift = bitpos
         shift_bits_total = width * 8 * bs * num
