@@ -182,3 +182,29 @@ def test_device_persistent_stream_multichannel(rng):
     enc = ALACEncoder(cfg)
     for n in range(N):
         assert streams[0][n] == enc.encode_packet(pcm[0, n]), n
+
+
+@pytest.mark.parametrize("nch", [3, 4, 5, 7, 8])
+def test_device_all_layouts_byte_identical_and_lossless(rng, nch):
+    """Every ELEMENT_LAYOUTS composition (3.0 .. 7.1 — SCE/CPE/LFE mixes,
+    reference: ALACEncoder.cpp Encode's per-layout element loop) encodes
+    byte-identical to the oracle and decodes losslessly on device,
+    including a partial tail frame batched with full frames."""
+    cfg = AlacConfig(bit_depth=16, num_channels=nch, frame_length=S)
+    codec = get_codec(cfg, chunk=NF)
+    # mixed content so different elements pick different search winners
+    kinds = ["sine", "impulse", "noise", "silence", "sine"]
+    x = np.stack([gen_pcm(rng, kinds[i], nch, S, 16) for i in range(NF)])
+    nums = np.array([S, S, S - 77, S, 3])  # two partial tails in-batch
+    x[2, :, S - 77:] = 0
+    x[4, :, 3:] = 0
+
+    pkts = codec.encode_frames_ex(x, nums)
+    enc = ALACEncoder(cfg, independent_frames=True)
+    for i in range(NF):
+        assert pkts[i] == enc.encode_packet(x[i, :, :nums[i]]), f"frame {i}"
+
+    y, got = codec.decode_frames_ex(pkts)
+    assert list(got) == list(nums)
+    for i in range(NF):
+        np.testing.assert_array_equal(y[i, :, :nums[i]], x[i, :, :nums[i]])
