@@ -132,7 +132,19 @@ void *alacff_open_encoder2(int nch, int sample_rate, int depth,
                        AV_OPT_SEARCH_CHILDREN);
     ctx->sample_fmt = depth == 16 ? AV_SAMPLE_FMT_S16P : AV_SAMPLE_FMT_S32P;
     ctx->sample_rate = sample_rate;
+    /* the default layout for nch may not be in the ALAC encoder's
+     * supported list (8ch default is "7.1"; the encoder wants
+     * 7.1(wide)) — prefer the codec's own entry for this count */
     av_channel_layout_default(&ctx->ch_layout, nch);
+    if (codec->ch_layouts) {
+        for (int i = 0; codec->ch_layouts[i].nb_channels; i++) {
+            if (codec->ch_layouts[i].nb_channels == nch) {
+                av_channel_layout_copy(&ctx->ch_layout,
+                                       &codec->ch_layouts[i]);
+                break;
+            }
+        }
+    }
     if (frame_len > 0)
         ctx->frame_size = frame_len; /* encoder may override after open */
     if (avcodec_open2(ctx, codec, NULL) < 0) {

@@ -451,3 +451,51 @@ def test_ffmpeg_encode_our_device_decode(ff, rng):
     out = codec.decode_frames(pkts)
     got = np.concatenate([out[i] for i in range(len(pkts))], axis=1)[:, :n]
     np.testing.assert_array_equal(got, pcm)
+
+
+@pytest.mark.parametrize("nch", [3, 4, 5, 7, 8])
+def test_our_all_layouts_ffmpeg_decodes_losslessly(ff, rng, nch):
+    """Every remaining element composition (3.0 .. 7.1) through FFmpeg's
+    independent decoder.  FFmpeg outputs in its own channel order for
+    each layout tag; rather than pin its table, derive the permutation
+    from distinguishable channels and assert it is a bijection with
+    every channel bit-exact."""
+    from alacjax.oracle import ALACEncoder
+
+    cfg = AlacConfig(bit_depth=16, num_channels=nch, frame_length=S,
+                     sample_rate=48000)
+    enc = ALACEncoder(cfg)
+    pcm = gen_pcm(rng, "sine", nch, S, 16)
+    pcm += (np.arange(nch)[:, None] + 1) * 977  # distinguishable rows
+    pkts = [enc.encode_packet(pcm)]
+    outs = ff.decode_stream(enc.get_magic_cookie(), pkts, nch, 16,
+                            48000, S)
+    perm = []
+    for row in outs[0]:
+        hits = [i for i in range(nch) if (row == pcm[i]).all()]
+        assert len(hits) == 1, f"output row matches {len(hits)} inputs"
+        perm.append(hits[0])
+    assert sorted(perm) == list(range(nch)), perm
+
+
+@pytest.mark.parametrize("nch", [4, 8])
+def test_ffmpeg_multichannel_encode_our_decode(ff, rng, nch):
+    """FFmpeg-encoded 4.0 / 7.1 streams (its own layout + parameter
+    choices) through our oracle decoder, permutation derived as above."""
+    from alacjax.cookie import parse_cookie
+    from alacjax.oracle import ALACDecoder
+
+    n = 4096
+    pcm = gen_pcm(rng, "sine", nch, n, 16)
+    pcm += (np.arange(nch)[:, None] + 1) * 977
+    cookie, pkts = ff.encode_stream(pcm, 16, 48000, 4096)
+    cfg = parse_cookie(cookie)
+    assert cfg.num_channels == nch
+    y, ns = ALACDecoder(cfg).decode_packet(pkts[0])
+    assert ns == n
+    perm = []
+    for row in y:
+        hits = [i for i in range(nch) if (row == pcm[i]).all()]
+        assert len(hits) == 1, f"decoded row matches {len(hits)} inputs"
+        perm.append(hits[0])
+    assert sorted(perm) == list(range(nch)), perm
