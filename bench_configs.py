@@ -80,6 +80,18 @@ def main() -> int:
         d.block_until_ready()
         dt = time.time() - t0
         fps = B * iters / dt
+
+        # enc/dec split (diagnostic): same chained methodology per phase
+        t0 = time.time()
+        for _ in range(iters):
+            w, b = codec._encode(x)
+        w.block_until_ready()
+        enc_dt = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            d, e, _n = codec._decode(words)
+        d.block_until_ready()
+        dec_dt = time.time() - t0
         ratio = float(np.sum((np.asarray(bits) + 7) // 8)) / (
             pcm.size * cfg.bit_depth / 8)
         print(json.dumps({
@@ -89,6 +101,8 @@ def main() -> int:
             "compression_ratio": round(ratio, 3),
             "lossless": True,
             "compile_s": round(compile_s, 1),
+            "encode_fps": round(B * iters / enc_dt, 1),
+            "decode_fps": round(B * iters / dec_dt, 1),
         }), flush=True)
     return 0
 
