@@ -219,6 +219,12 @@ def combine_chunks(words, keys, num_words: int, max_dups: int = 8):
     channels/END, per element) can share one word with its neighbor, so
     callers must size it to the element layout (codec passes
     4 + 4*n_elements).
+
+    If a lane's actual duplicate extras ever exceed max_dups the
+    positional reconstruct would silently drop a word; instead of
+    corrupting quietly, that lane's whole image is bit-inverted so the
+    lossless gates / byte-parity tests fail loudly (the overflow check
+    is one compare + reduce — effectively free next to the sort).
     """
     B, T = words.shape
     keys_s, words_s = jax.lax.sort((keys.astype(U32), words.astype(U32)),
@@ -254,7 +260,16 @@ def combine_chunks(words, keys, num_words: int, max_dups: int = 8):
         c_r = comb_p[:, r:r + num_words]
         f_r = first_p[:, r:r + num_words]
         out = out + jnp.where((k_r == jq) & f_r, c_r, 0)
-    return out
+
+    # budget overflow -> poison the lane (see docstring).  A first
+    # occurrence of real key j sits at sorted position j + extras_before,
+    # so extras_before = pos - key; reconstruction reaches offsets
+    # <= max_dups only.
+    pos = iota1(T, U32)[None, :]
+    real = keys_s != jnp.uint32(0xFFFFFFFF)
+    over = jnp.any(first & real & ((pos - keys_s) > jnp.uint32(max_dups)),
+                   axis=1)
+    return jnp.where(over[:, None], ~out, out)
 
 
 def _pallas_merge_enabled() -> bool:

@@ -98,3 +98,36 @@ def test_extract_segment_inverts_place_segment(rng):
     back = np.asarray(bitpack.extract_segment(
         placed, jnp.asarray(phase), W))
     np.testing.assert_array_equal(back, words)
+
+
+def test_combine_chunks_overflow_poisons_lane():
+    """Exceeding the dup budget must corrupt LOUDLY, not drop a word.
+
+    Lane 0 stays within max_dups cumulative duplicate extras and must
+    reconstruct exactly; lane 1 exceeds the budget and must come back
+    bit-inverted (poisoned) rather than silently missing a word.
+    """
+    W = 6
+    max_dups = 2
+    # lane 0: keys 0..5 plus 2 duplicate extras (of word 2) -> in budget
+    k0 = [0, 1, 2, 2, 2, 3, 4, 5]
+    v0 = [10, 11, 4, 4, 4, 13, 14, 15]  # dup values add: word2 = 12
+    # lane 1: 3 duplicate extras of word 0 -> word 5 lands at offset 3
+    k1 = [0, 0, 0, 0, 1, 2, 3, 4, 5]
+    v1 = [1, 1, 1, 1, 21, 22, 23, 24, 25]
+    T = max(len(k0), len(k1))
+    pad = 0xFFFFFFFF
+    keys = np.full((2, T), pad, dtype=np.uint32)
+    vals = np.zeros((2, T), dtype=np.uint32)
+    keys[0, :len(k0)] = k0; vals[0, :len(v0)] = v0
+    keys[1, :len(k1)] = k1; vals[1, :len(v1)] = v1
+
+    out = np.asarray(bitpack.combine_chunks(
+        jnp.asarray(keys) * 0 + jnp.asarray(vals),  # ensure jnp inputs
+        jnp.asarray(keys), W, max_dups=max_dups))
+
+    assert out[0].tolist() == [10, 11, 12, 13, 14, 15]
+    # the over-budget lane is bit-inverted: every word's MSB is set,
+    # impossible for the small true values — loud, not a dropped word
+    assert (out[1] >> 31 == 1).all(), (
+        f"over-budget lane must be poisoned, got {out[1].tolist()}")
