@@ -543,135 +543,149 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
     # keys, gapless coverage — the merge_sorted_chunks invariant); every
     # segment's final partial word is collected as a per-lane tail and
     # OR'd by the merger.
-    all_vals, all_keys = [], []
-    tail_v, tail_k = [], []
-    rci = 0
-    for e in elems:
-        width, is_cpe = e["width"], e["is_cpe"]
-        # compressed stream: header tokens (partial lanes: flag bit 3 of
-        # the 23-bit header + a 32-bit numSamples token, zero-length on
-        # full lanes — assemble() skips L=0 tokens)
-        h23 = jnp.full((B, 1), _header23(e["tag"], e["instance"], bs, False),
-                       dtype=U32)
+    def esc_stream_for(e):
+        """Escape stream chunks for one element: 23-bit header (+32-bit
+        numSamples on partial lanes) + raw samples at full depth.
+        Packing the (B, width*S) raw fields + the pad/select costs
+        several ms and is wasted on every batch where nothing escaped
+        (typical music), so callers run this under a runtime cond."""
+        is_cpe = e["is_cpe"]
+        eh23 = jnp.full((B, 1),
+                        _header23(e["tag"], e["instance"], 0, True),
+                        dtype=U32)
         if nums is not None:
-            h23 = h23 | (partial.astype(U32) << 3)[:, None]
-        hv = [h23]
-        hl = [jnp.full((B, 1), 23, I32)]
+            eh23 = eh23 | (partial.astype(U32) << 3)[:, None]
+        ehv = [eh23]
+        ehl = [jnp.full((B, 1), 23, I32)]
+        ecap = 23
         if nums is not None:
-            hv.append(nums.astype(U32)[:, None])
-            hl.append(pbits[:, None])
-        if is_cpe:
-            mixtok = (jnp.uint32(DEFAULT_MIX_BITS << 8)
-                      | (e["mixres_win"].astype(U32) & 0xFF))
-            hv.append(mixtok[:, None]); hl.append(jnp.full((B, 1), 16, I32))
+            ehv.append(nums.astype(U32)[:, None])
+            ehl.append(pbits[:, None])
+            ecap += 32
+        ew, ek, epos, etv, etk = _emit_header(ehv, ehl, e["start"], ecap)
+        raw = (_interleave2(e["chans"][0], e["chans"][1]) if is_cpe
+               else e["chans"][0])
+        if nums is None:
+            rw, rk, _, rtv, rtk = _emit_block(raw.astype(U32), depth,
+                                              epos)
         else:
-            # mono: mixBits/mixRes written as (0, 0) — present in every
-            # non-escape element per the reference grammar
-            hv.append(jnp.zeros((B, 1), U32))
-            hl.append(jnp.full((B, 1), 16, I32))
-        for ci in range(width):
-            hv.append(_chparam_token(e["orders_win"][ci],
-                                     e["modes_win"][ci])[:, None])
-            hl.append(jnp.full((B, 1), 16, I32))
-            cv, cl = _coef_tokens(e["coefs0_win"][ci], e["orders_win"][ci])
-            hv.append(cv); hl.append(cl)
-        cap = (23 + (0 if nums is None else 32) + 16
-               + width * (16 + 16 * kALACMaxCoefs))
-        hw, hk, pos, htv, htk = _emit_header(hv, hl, e["start"], cap)
-        seg_v, seg_k = [hw], [hk]
-        tv_c, tk_c = [htv], [htk]
+            nf = e["width"] * nums
+            raw = jnp.where(
+                iota1(raw.shape[1])[None, :] < nf[:, None], raw, 0)
+            rw, rk, _, rtv, rtk = _emit_block_n(raw.astype(U32), depth,
+                                                epos, nf)
+        return (jnp.concatenate([ew, rw], axis=1),
+                jnp.concatenate([ek, rk], axis=1),
+                (etv, rtv), (etk, rtk))
 
-        # shift-byte block (interleaved per sample/channel)
-        if bs:
-            sh = (_interleave2(e["los"][0], e["los"][1]) if is_cpe
-                  else e["los"][0])
-            if nums is None:
-                bw, bk, pos, btv, btk = _emit_block(sh.astype(U32),
-                                                    8 * bs, pos)
-            else:
-                nf = width * nums
-                sh = jnp.where(iota1(sh.shape[1])[None, :] < nf[:, None],
-                               sh, 0)
-                bw, bk, pos, btv, btk = _emit_block_n(sh.astype(U32),
-                                                      8 * bs, pos, nf)
-            seg_v.append(bw); seg_k.append(bk)
-            tv_c.append(btv); tk_c.append(btk)
-
-        # Rice chunk streams for this element (from the stacked emission)
-        for _ in range(width):
-            seg_v.append(cw_all[rci * B:(rci + 1) * B])
-            seg_k.append(ck_all[rci * B:(rci + 1) * B])
-            tv_c.append(ctv_all[rci * B:(rci + 1) * B])
-            tk_c.append(ctk_all[rci * B:(rci + 1) * B])
-            rci += 1
-        vals_c = jnp.concatenate(seg_v, axis=1)
-        keys_c = jnp.concatenate(seg_k, axis=1)
-
-        # escape stream: 23-bit header + raw samples at full depth.
-        # Packing the (B, width*S) raw fields + the pad/select costs
-        # several ms and is wasted on every batch where nothing escaped
-        # (typical music), so the whole build runs under a runtime cond.
-        def esc_stream():
-            eh23 = jnp.full((B, 1),
-                            _header23(e["tag"], e["instance"], 0, True),
-                            dtype=U32)
+    def mixed_chunks():
+        """Per-element chunk assembly for the general (some lane
+        compressed) case: compressed stream chunks, per-element escape
+        select under a cond."""
+        all_vals, all_keys = [], []
+        tail_v, tail_k = [], []
+        rci = 0
+        for e in elems:
+            width, is_cpe = e["width"], e["is_cpe"]
+            # compressed stream: header tokens (partial lanes: flag bit 3
+            # of the 23-bit header + a 32-bit numSamples token,
+            # zero-length on full lanes — assemble() skips L=0 tokens)
+            h23 = jnp.full((B, 1),
+                           _header23(e["tag"], e["instance"], bs, False),
+                           dtype=U32)
             if nums is not None:
-                eh23 = eh23 | (partial.astype(U32) << 3)[:, None]
-            ehv = [eh23]
-            ehl = [jnp.full((B, 1), 23, I32)]
-            ecap = 23
+                h23 = h23 | (partial.astype(U32) << 3)[:, None]
+            hv = [h23]
+            hl = [jnp.full((B, 1), 23, I32)]
             if nums is not None:
-                ehv.append(nums.astype(U32)[:, None])
-                ehl.append(pbits[:, None])
-                ecap += 32
-            ew, ek, epos, etv, etk = _emit_header(ehv, ehl, e["start"], ecap)
-            raw = (_interleave2(e["chans"][0], e["chans"][1]) if is_cpe
-                   else e["chans"][0])
-            if nums is None:
-                rw, rk, _, rtv, rtk = _emit_block(raw.astype(U32), depth,
-                                                  epos)
+                hv.append(nums.astype(U32)[:, None])
+                hl.append(pbits[:, None])
+            if is_cpe:
+                mixtok = (jnp.uint32(DEFAULT_MIX_BITS << 8)
+                          | (e["mixres_win"].astype(U32) & 0xFF))
+                hv.append(mixtok[:, None])
+                hl.append(jnp.full((B, 1), 16, I32))
             else:
-                nf = width * nums
-                raw = jnp.where(
-                    iota1(raw.shape[1])[None, :] < nf[:, None], raw, 0)
-                rw, rk, _, rtv, rtk = _emit_block_n(raw.astype(U32), depth,
-                                                    epos, nf)
-            return (jnp.concatenate([ew, rw], axis=1),
-                    jnp.concatenate([ek, rk], axis=1),
-                    (etv, rtv), (etk, rtk))
+                # mono: mixBits/mixRes written as (0, 0) — present in
+                # every non-escape element per the reference grammar
+                hv.append(jnp.zeros((B, 1), U32))
+                hl.append(jnp.full((B, 1), 16, I32))
+            for ci in range(width):
+                hv.append(_chparam_token(e["orders_win"][ci],
+                                         e["modes_win"][ci])[:, None])
+                hl.append(jnp.full((B, 1), 16, I32))
+                cv, cl = _coef_tokens(e["coefs0_win"][ci],
+                                      e["orders_win"][ci])
+                hv.append(cv); hl.append(cl)
+            cap = (23 + (0 if nums is None else 32) + 16
+                   + width * (16 + 16 * kALACMaxCoefs))
+            hw, hk, pos, htv, htk = _emit_header(hv, hl, e["start"], cap)
+            seg_v, seg_k = [hw], [hk]
+            tv_c, tk_c = [htv], [htk]
 
-        Te = jax.eval_shape(esc_stream)[0].shape[1]
-        T_el = max(vals_c.shape[1], Te)
-        n_t = len(tv_c)
-        ue = e["use_escape"][:, None]
-        ue1 = e["use_escape"]
+            # shift-byte block (interleaved per sample/channel)
+            if bs:
+                sh = (_interleave2(e["los"][0], e["los"][1]) if is_cpe
+                      else e["los"][0])
+                if nums is None:
+                    bw, bk, pos, btv, btk = _emit_block(sh.astype(U32),
+                                                        8 * bs, pos)
+                else:
+                    nf = width * nums
+                    sh = jnp.where(
+                        iota1(sh.shape[1])[None, :] < nf[:, None], sh, 0)
+                    bw, bk, pos, btv, btk = _emit_block_n(sh.astype(U32),
+                                                          8 * bs, pos, nf)
+                seg_v.append(bw); seg_k.append(bk)
+                tv_c.append(btv); tk_c.append(btk)
 
-        def pad_to(v, k, T):
-            return (jnp.pad(v, ((0, 0), (0, T - v.shape[1]))),
-                    jnp.pad(k, ((0, 0), (0, T - k.shape[1])),
-                            constant_values=np.uint32(0xFFFFFFFF)))
+            # Rice chunk streams for this element (stacked emission)
+            for _ in range(width):
+                seg_v.append(cw_all[rci * B:(rci + 1) * B])
+                seg_k.append(ck_all[rci * B:(rci + 1) * B])
+                tv_c.append(ctv_all[rci * B:(rci + 1) * B])
+                tk_c.append(ctk_all[rci * B:(rci + 1) * B])
+                rci += 1
+            vals_c = jnp.concatenate(seg_v, axis=1)
+            keys_c = jnp.concatenate(seg_k, axis=1)
 
-        def with_escape():
-            vals_e, keys_e, tv_e, tk_e = esc_stream()
-            vc, kc = pad_to(vals_c, keys_c, T_el)
-            ve, ke = pad_to(vals_e, keys_e, T_el)
-            tv_e = list(tv_e) + [jnp.zeros((B,), U32)] * (n_t - 2)
-            tk_e = list(tk_e) + [jnp.full((B,), 0xFFFFFFFF, U32)] * (n_t - 2)
-            tv = [jnp.where(ue1, b, a) for a, b in zip(tv_c, tv_e)]
-            tk = [jnp.where(ue1, b, a) for a, b in zip(tk_c, tk_e)]
-            return (jnp.where(ue, ve, vc), jnp.where(ue, ke, kc),
-                    jnp.stack(tv), jnp.stack(tk))
+            Te = jax.eval_shape(lambda: esc_stream_for(e))[0].shape[1]
+            T_el = max(vals_c.shape[1], Te)
+            n_t = len(tv_c)
+            ue = e["use_escape"][:, None]
+            ue1 = e["use_escape"]
 
-        def without_escape():
-            vc, kc = pad_to(vals_c, keys_c, T_el)
-            return vc, kc, jnp.stack(tv_c), jnp.stack(tk_c)
+            def pad_to(v, k, T):
+                return (jnp.pad(v, ((0, 0), (0, T - v.shape[1]))),
+                        jnp.pad(k, ((0, 0), (0, T - k.shape[1])),
+                                constant_values=np.uint32(0xFFFFFFFF)))
 
-        av, ak, tvs, tks = jax.lax.cond(
-            jnp.any(ue1), with_escape, without_escape)
-        all_vals.append(av)
-        all_keys.append(ak)
-        tail_v.extend(tvs[i] for i in range(n_t))
-        tail_k.extend(tks[i] for i in range(n_t))
+            def with_escape(e=e, vals_c=vals_c, keys_c=keys_c, tv_c=tv_c,
+                            tk_c=tk_c, T_el=T_el, n_t=n_t, ue=ue, ue1=ue1):
+                vals_e, keys_e, tv_e, tk_e = esc_stream_for(e)
+                vc, kc = pad_to(vals_c, keys_c, T_el)
+                ve, ke = pad_to(vals_e, keys_e, T_el)
+                tv_e = list(tv_e) + [jnp.zeros((B,), U32)] * (n_t - 2)
+                tk_e = (list(tk_e)
+                        + [jnp.full((B,), 0xFFFFFFFF, U32)] * (n_t - 2))
+                tv = [jnp.where(ue1, b, a) for a, b in zip(tv_c, tv_e)]
+                tk = [jnp.where(ue1, b, a) for a, b in zip(tk_c, tk_e)]
+                return (jnp.where(ue, ve, vc), jnp.where(ue, ke, kc),
+                        jnp.stack(tv), jnp.stack(tk))
+
+            def without_escape(vals_c=vals_c, keys_c=keys_c, tv_c=tv_c,
+                               tk_c=tk_c, T_el=T_el):
+                vc, kc = pad_to(vals_c, keys_c, T_el)
+                return vc, kc, jnp.stack(tv_c), jnp.stack(tk_c)
+
+            av, ak, tvs, tks = jax.lax.cond(
+                jnp.any(ue1), with_escape, without_escape)
+            all_vals.append(av)
+            all_keys.append(ak)
+            tail_v.extend(tvs[i] for i in range(n_t))
+            tail_k.extend(tks[i] for i in range(n_t))
+        return (jnp.concatenate(all_vals, axis=1),
+                jnp.concatenate(all_keys, axis=1), tail_v, tail_k)
 
     # ---- END tag (3 bits) at the known end position: pure tails ----
     phase = (total_c & 31).astype(U32)
@@ -679,20 +693,74 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
     end_lo = jnp.where(phase > 29,
                        jnp.left_shift(jnp.uint32(7), (61 - phase) % 32),
                        jnp.uint32(0))
-    tail_v.extend([end_hi, end_lo])
-    tail_k.extend([(total_c >> 5).astype(U32),
-                   jnp.where(phase > 29, ((total_c >> 5) + 1).astype(U32),
-                             jnp.uint32(0xFFFFFFFF))])
+    end_tv = [end_hi, end_lo]
+    end_tk = [(total_c >> 5).astype(U32),
+              jnp.where(phase > 29, ((total_c >> 5) + 1).astype(U32),
+                        jnp.uint32(0xFFFFFFFF))]
     total_bits = total_c + 3  # byte-align pad bits are zeros: no emission
 
-    vals = jnp.concatenate(all_vals, axis=1)
-    keys = jnp.concatenate(all_keys, axis=1)
     if stop_at == "assemble":  # profiling truncation (prof_trunc.py)
-        return (vals, keys, tail_v, tail_k, total_bits)
-    with jax.named_scope("alacjax.merge_chunks"):
-        words = bitpack.merge_sorted_chunks(
-            vals, keys, jnp.stack(tail_v, axis=1), jnp.stack(tail_k, axis=1),
+        vals, keys, tail_v, tail_k = mixed_chunks()
+        return (vals, keys, tail_v + end_tv, tail_k + end_tk, total_bits)
+
+    def assemble_mixed():
+        vals, keys, tail_v, tail_k = mixed_chunks()
+        with jax.named_scope("alacjax.merge_chunks"):
+            return bitpack.merge_sorted_chunks(
+                vals, keys, jnp.stack(tail_v + end_tv, axis=1),
+                jnp.stack(tail_k + end_tk, axis=1),
+                num_words, radix_bits=_merge_radix())
+
+    def assemble_all_escape():
+        """Every lane of every element escaped (noise content): the
+        packet is header+raw blocks at closed-form offsets.  Full-frame
+        batches place each element's packed raw image at its STATIC bit
+        offset — no chunk merge at all (the radix shuffle over the
+        ~3x-wider rice chunk arrays is the dominant assembly cost on
+        all-escape content).  Partial batches (per-lane offsets) merge
+        escape chunks only."""
+        if nums is None:
+            row = np.zeros((num_words,), np.uint64)
+
+            def or_static(row, val, nbits, pos):
+                w, ph = pos >> 5, pos & 31
+                v64 = (val & ((1 << nbits) - 1)) << (64 - ph - nbits)
+                if w < num_words:
+                    row[w] |= v64 >> 32
+                if ph + nbits > 32 and w + 1 < num_words:
+                    row[w + 1] |= v64 & 0xFFFFFFFF
+
+            out = jnp.zeros((B, num_words), U32)
+            pos = 0
+            for e in elems:
+                or_static(row, _header23(e["tag"], e["instance"], 0, True),
+                          23, pos)
+                raw = (_interleave2(e["chans"][0], e["chans"][1])
+                       if e["is_cpe"] else e["chans"][0])
+                img = bitpack.pack_fields(raw.astype(U32), depth)
+                p0 = pos + 23
+                placed = bitpack.place_segment(
+                    img, jnp.full((B,), p0 & 31, U32))
+                w0 = p0 >> 5
+                Wp = min(placed.shape[1], num_words - w0)
+                out = out | jnp.pad(placed[:, :Wp],
+                                    ((0, 0), (w0, num_words - w0 - Wp)))
+                pos = p0 + e["width"] * depth * S
+            or_static(row, 0b111, 3, pos)
+            return out | jnp.asarray(row.astype(np.uint32))[None, :]
+
+        av, ak, tv, tk = [], [], [], []
+        for e in elems:
+            ev, ek, (etv, rtv), (etk, rtk) = esc_stream_for(e)
+            av.append(ev); ak.append(ek)
+            tv += [etv, rtv]; tk += [etk, rtk]
+        return bitpack.merge_sorted_chunks(
+            jnp.concatenate(av, axis=1), jnp.concatenate(ak, axis=1),
+            jnp.stack(tv + end_tv, axis=1), jnp.stack(tk + end_tk, axis=1),
             num_words, radix_bits=_merge_radix())
+
+    with jax.named_scope("alacjax.assemble"):
+        words = jax.lax.cond(~any_comp, assemble_all_escape, assemble_mixed)
     return words, total_bits, new_banks
 
 

@@ -129,6 +129,32 @@ def test_device_partial_frames_byte_identical_to_oracle(rng, depth, nch):
     np.testing.assert_array_equal(dec, x)
 
 
+@pytest.mark.parametrize("nch", [2, 6])
+def test_device_all_escape_batches_byte_identical(rng, nch):
+    """Batches where EVERY lane of EVERY element escapes (32-bit white
+    noise) take the merge-free assembly fast path (codec.py
+    assemble_all_escape): full frames place raw images at static
+    offsets; partial lanes merge escape chunks only.  Byte parity with
+    the oracle pins both sub-paths."""
+    cfg = AlacConfig(bit_depth=32, num_channels=nch, frame_length=S)
+    enc = ALACEncoder(cfg, independent_frames=True)
+
+    # full frames, single- and multi-element layouts (static placement)
+    x = frames(rng, "noise", nch, 32)
+    pkts = get_codec(cfg, chunk=NF).encode_frames(x)
+    for i in range(NF):
+        assert pkts[i] == enc.encode_packet(x[i]), f"full frame {i}"
+
+    # all-escape partial batch (per-lane offsets -> escape-chunk merge)
+    nums = np.array([S, 5, 100, S - 1, 1], np.int32)
+    xp = frames(rng, "noise", nch, 32)
+    for b, n in enumerate(nums):
+        xp[b, :, n:] = 0
+    pkts = get_codec(cfg, chunk=NF).encode_frames_ex(xp, nums)
+    for b, n in enumerate(nums):
+        assert pkts[b] == enc.encode_packet(xp[b, :, :n]), f"lane {b}"
+
+
 def test_jax_backend_stream_roundtrip_with_partial_tail(rng):
     from alacjax.convert import get_backend
     enc, dec = get_backend("jax")
