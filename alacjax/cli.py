@@ -20,10 +20,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="alacconvert",
         description="Apple Lossless converter (TPU-native rebuild). "
-                    "WAV->CAF encodes; CAF->WAV decodes.",
+                    "WAV->CAF/M4A encodes; CAF/M4A->WAV decodes; "
+                    "CAF<->M4A repacks without transcoding.",
     )
-    p.add_argument("input", help="input file (.wav or .caf)")
-    p.add_argument("output", help="output file (.caf or .wav)")
+    p.add_argument("input", help="input file (.wav, .caf, .m4a/.mp4)")
+    p.add_argument("output", help="output file (.caf, .m4a/.mp4, .wav)")
     p.add_argument("--frame-size", type=int, default=4096, metavar="N",
                    help="samples per packet (default 4096)")
     p.add_argument("--fast", action="store_true",

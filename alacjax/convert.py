@@ -128,13 +128,30 @@ def decode_caf_to_wav(caf: CafFile, backend: str = "oracle") -> WavFile:
 
 
 def convert_file(in_path: str, out_path: str, **kw) -> None:
-    """alacconvert-compatible: direction inferred from extensions."""
+    """alacconvert-compatible: direction inferred from extensions.
+
+    Beyond the reference's WAV<->CAF pair, .m4a/.mp4 is accepted on
+    either side (the container deployed ALAC actually ships in); the
+    packetized stream carrier is identical, only the serialization
+    differs (containers/mp4.py)."""
+    from .containers.mp4 import read_m4a, write_m4a
+
     lo_in, lo_out = in_path.lower(), out_path.lower()
+    m4a = (".m4a", ".mp4")
     if lo_in.endswith(".wav") and lo_out.endswith(".caf"):
         write_caf(encode_wav_to_caf(read_wav(in_path), **kw), out_path)
+    elif lo_in.endswith(".wav") and lo_out.endswith(m4a):
+        write_m4a(encode_wav_to_caf(read_wav(in_path), **kw), out_path)
     elif lo_in.endswith(".caf") and lo_out.endswith(".wav"):
         backend = kw.get("backend", "oracle")
         write_wav(decode_caf_to_wav(read_caf(in_path), backend=backend), out_path)
+    elif lo_in.endswith(m4a) and lo_out.endswith(".wav"):
+        backend = kw.get("backend", "oracle")
+        write_wav(decode_caf_to_wav(read_m4a(in_path), backend=backend), out_path)
+    elif lo_in.endswith(".caf") and lo_out.endswith(m4a):
+        write_m4a(read_caf(in_path), out_path)       # repack, no transcode
+    elif lo_in.endswith(m4a) and lo_out.endswith(".caf"):
+        write_caf(read_m4a(in_path), out_path)
     else:
         raise AlacParamError(
-            "unsupported conversion (need in.wav -> out.caf or in.caf -> out.wav)")
+            "unsupported conversion (wav <-> caf/m4a, caf <-> m4a)")

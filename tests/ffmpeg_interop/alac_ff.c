@@ -332,12 +332,14 @@ done:
     return ret;
 }
 
-/* Encode PCM with FFmpeg's ALAC encoder and mux it into a CAF file via
- * libavformat — a third-party CAF writer whose output our container
- * reader must parse (containers/caf.py parse leg).
+/* Encode PCM with FFmpeg's ALAC encoder and mux it via libavformat —
+ * a third-party writer whose output our container readers must parse
+ * (containers/caf.py and containers/mp4.py parse legs).
+ * fmt_name: libavformat muxer name ("caf", "ipod" for .m4a, ...) or
+ * NULL to infer from the path suffix.
  * pcm: planar int32 (nch x n).  Returns 0 or <0. */
-int alacff_encode_caf(const char *path, const int32_t *pcm, int nch,
-                      int n, int sample_rate)
+int alacff_encode_mux(const char *path, const char *fmt_name,
+                      const int32_t *pcm, int nch, int n, int sample_rate)
 {
     AVFormatContext *fmt = NULL;
     AVCodecContext *ctx = NULL;
@@ -349,7 +351,7 @@ int alacff_encode_caf(const char *path, const int32_t *pcm, int nch,
 
     if (!codec)
         return -3001;
-    if (avformat_alloc_output_context2(&fmt, NULL, "caf", path) < 0)
+    if (avformat_alloc_output_context2(&fmt, NULL, fmt_name, path) < 0)
         return -3002;
     ctx = avcodec_alloc_context3(codec);
     ctx->sample_fmt = AV_SAMPLE_FMT_S16P;
@@ -422,4 +424,18 @@ done:
         avformat_free_context(fmt);
     }
     return ret;
+}
+
+int alacff_encode_caf(const char *path, const int32_t *pcm, int nch,
+                      int n, int sample_rate)
+{
+    return alacff_encode_mux(path, "caf", pcm, nch, n, sample_rate);
+}
+
+/* alacff_decode_caf probes the container, so it demuxes any libavformat
+ * input (CAF, M4A/MP4, ...); alias under the honest name. */
+int alacff_decode_file(const char *path, int32_t *out, int max_samples,
+                       int *nch_out, int *rate_out)
+{
+    return alacff_decode_caf(path, out, max_samples, nch_out, rate_out);
 }

@@ -158,3 +158,96 @@ def test_cli_exhaustive_search_roundtrip(rng, tmp_path):
     import os
     assert os.path.getsize(tmp_path / "exh.caf") <= os.path.getsize(
         tmp_path / "std.caf")
+
+
+# ---------------------------------------------------------------------------
+# MP4/M4A container (containers/mp4.py — beyond the reference's WAV<->CAF)
+# ---------------------------------------------------------------------------
+def test_m4a_roundtrip_preserves_stream(rng):
+    from alacjax.containers import read_m4a, write_m4a
+    x = gen_pcm(rng, "sine", 2, 1000, 16)  # partial tail packet
+    wav = WavFile(44100, 16, 2, pack_pcm(x, 16))
+    caf = encode_wav_to_caf(wav, frame_length=256)
+    blob = write_m4a(caf)
+    back = read_m4a(blob)
+    assert back.packets == caf.packets
+    assert back.cookie == caf.cookie
+    assert back.sample_rate == 44100 and back.bit_depth == 16
+    assert back.num_channels == 2 and back.frames_per_packet == 256
+    assert back.num_valid_frames == 1000
+
+
+def test_m4a_box_layout():
+    """Structural conformance: ftyp brand, mdat-before-moov, single-chunk
+    sample tables, alac cookie box inside the sample entry."""
+    import struct as _struct
+    from alacjax.containers import write_m4a
+    from alacjax.cookie import serialize_cookie
+    from alacjax.types import AlacConfig
+    cfg = AlacConfig(bit_depth=16, num_channels=2, frame_length=256)
+    pkts = [b"A" * 31, b"B" * 17]
+    caf = CafFile(44100, 16, 2, 256, serialize_cookie(cfg), pkts, 300)
+    blob = write_m4a(caf)
+    assert blob[4:8] == b"ftyp" and blob[8:12] == b"M4A "
+    ftyp_size = _struct.unpack_from(">I", blob, 0)[0]
+    assert blob[ftyp_size + 4: ftyp_size + 8] == b"mdat"
+    assert blob[ftyp_size + 8: ftyp_size + 8 + 48] == b"".join(pkts)
+    # stco's single offset points exactly at the mdat payload
+    i = blob.index(b"stco")
+    n, off = _struct.unpack_from(">II", blob, i + 8)
+    assert (n, off) == (1, ftyp_size + 8)
+    # stsz carries the two packet sizes
+    i = blob.index(b"stsz")
+    fixed, count, s0, s1 = _struct.unpack_from(">IIII", blob, i + 8)
+    assert (fixed, count, s0, s1) == (0, 2, 31, 17)
+    # stts: one full packet run + the 44-frame tail
+    i = blob.index(b"stts")
+    n, c0, d0, c1, d1 = _struct.unpack_from(">IIIII", blob, i + 8)
+    assert (n, c0, d0, c1, d1) == (2, 1, 256, 1, 44)
+
+
+@pytest.mark.parametrize("depth,nch", [(16, 2), (24, 1), (16, 6)])
+def test_m4a_file_level_roundtrip(rng, depth, nch, tmp_path):
+    x = gen_pcm(rng, "impulse", nch, 900, depth)
+    wav_in = tmp_path / "in.wav"
+    m4a_mid = tmp_path / "mid.m4a"
+    wav_out = tmp_path / "out.wav"
+    write_wav(WavFile(48000, depth, nch, pack_pcm(x, depth)), str(wav_in))
+    convert_file(str(wav_in), str(m4a_mid), frame_length=256)
+    convert_file(str(m4a_mid), str(wav_out))
+    back = read_wav(str(wav_out))
+    np.testing.assert_array_equal(unpack_pcm(back.data, depth, nch), x)
+    assert back.sample_rate == 48000 and back.bit_depth == depth
+
+
+def test_caf_m4a_repack_is_lossless_and_transcoding_free(rng, tmp_path):
+    x = gen_pcm(rng, "sine", 2, 700, 16)
+    wav_in = tmp_path / "in.wav"
+    write_wav(WavFile(44100, 16, 2, pack_pcm(x, 16)), str(wav_in))
+    convert_file(str(wav_in), str(tmp_path / "a.caf"), frame_length=256)
+    convert_file(str(tmp_path / "a.caf"), str(tmp_path / "a.m4a"))
+    convert_file(str(tmp_path / "a.m4a"), str(tmp_path / "b.caf"))
+    a = read_caf(str(tmp_path / "a.caf"))
+    b = read_caf(str(tmp_path / "b.caf"))
+    assert a.packets == b.packets and a.cookie == b.cookie  # repack, not transcode
+    convert_file(str(tmp_path / "b.caf"), str(tmp_path / "out.wav"))
+    back = read_wav(str(tmp_path / "out.wav"))
+    np.testing.assert_array_equal(unpack_pcm(back.data, 16, 2), x)
+
+
+def test_m4a_truncated_and_malformed_fail_closed(rng):
+    from alacjax.containers import read_m4a, write_m4a
+    x = gen_pcm(rng, "sine", 2, 300, 16)
+    wav = WavFile(44100, 16, 2, pack_pcm(x, 16))
+    blob = write_m4a(encode_wav_to_caf(wav, frame_length=256))
+    with pytest.raises(AlacParamError):
+        read_m4a(b"\x00\x00\x00\x08free")          # no moov at all
+    with pytest.raises(AlacParamError):
+        read_m4a(blob[: len(blob) // 2])            # moov cut off
+    # stsz says more bytes than mdat holds -> overrun must raise
+    import struct as _struct
+    i = blob.index(b"stsz")
+    bad = bytearray(blob)
+    _struct.pack_into(">I", bad, i + 16, 1 << 30)
+    with pytest.raises(AlacParamError):
+        read_m4a(bytes(bad))

@@ -499,3 +499,75 @@ def test_ffmpeg_multichannel_encode_our_decode(ff, rng, nch):
         assert len(hits) == 1, f"decoded row matches {len(hits)} inputs"
         perm.append(hits[0])
     assert sorted(perm) == list(range(nch)), perm
+
+
+def test_ffmpeg_demuxes_and_decodes_our_m4a_file(ff, rng, tmp_path):
+    """Container-level interop for the M4A writer (containers/mp4.py):
+    a complete .m4a from our CLI — ftyp/moov sample tables, alac cookie
+    box, partial tail packet — demuxed by libavformat's mov reader and
+    decoded by libavcodec, lossless."""
+    import subprocess
+    import sys as _sys
+
+    from alacjax.containers.pcm import pack_pcm
+    from alacjax.containers.wav import WavFile, write_wav
+
+    lib = ff.lib
+    lib.alacff_decode_file.restype = ctypes.c_int
+    lib.alacff_decode_file.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
+    n = 3 * 4096 + 777  # partial tail
+    pcm = gen_pcm(rng, "sine", 2, n, 16)
+    wav_in = tmp_path / "in.wav"
+    m4a = tmp_path / "ours.m4a"
+    write_wav(WavFile(44100, 16, 2, pack_pcm(pcm, 16)), str(wav_in))
+    r = subprocess.run(
+        [_sys.executable, "-m", "alacjax.cli", "--backend", "oracle",
+         str(wav_in), str(m4a)], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+
+    cap = n + 4096
+    out = np.zeros((2, cap), dtype=np.int32)
+    nch = ctypes.c_int(0)
+    rate = ctypes.c_int(0)
+    got = lib.alacff_decode_file(
+        str(m4a).encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap, ctypes.byref(nch), ctypes.byref(rate))
+    assert got == n and nch.value == 2 and rate.value == 44100
+    np.testing.assert_array_equal(out[:, :n], pcm)
+
+
+def test_our_cli_reads_ffmpeg_muxed_m4a(ff, rng, tmp_path):
+    """Inverse container leg: libavformat's ipod muxer writes an ALAC
+    .m4a (its own interleaved chunk layout — exercises the general
+    stsc/stco resolution in containers/mp4.py) and our CLI converts it
+    to WAV losslessly."""
+    import subprocess
+    import sys as _sys
+
+    from alacjax.containers.pcm import unpack_pcm
+    from alacjax.containers.wav import read_wav
+
+    lib = ff.lib
+    lib.alacff_encode_mux.restype = ctypes.c_int
+    lib.alacff_encode_mux.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+
+    n = 3 * 4096 + 500  # partial tail
+    pcm = gen_pcm(rng, "sine", 2, n, 16).astype(np.int32)
+    m4a = tmp_path / "ff.m4a"
+    wav = tmp_path / "ff.wav"
+    flat = np.ascontiguousarray(pcm)
+    rc = lib.alacff_encode_mux(
+        str(m4a).encode(), b"ipod",
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), 2, n, 44100)
+    assert rc == 0
+    r = subprocess.run(
+        [_sys.executable, "-m", "alacjax.cli", "--backend", "oracle",
+         str(m4a), str(wav)], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    got = unpack_pcm(read_wav(str(wav)).data, 16, 2)
+    np.testing.assert_array_equal(got, pcm)
