@@ -67,6 +67,15 @@ def _rand_params(rng, nch, max_order):
 
 
 def _build_batch(cfg, seed, max_order):
+    """Random-parameter packets CONFORMING on bytesShifted: the device
+    decoder treats the depth-derived value as static and errs (oracle
+    fallback, documented policy — codec.py decode header check) on
+    deviant streams, so batches meant to decode err-free on device must
+    carry the conforming value.  Deviant-bs coverage lives in
+    test_bs_deviant_flags_err_and_oracle_native_agree below."""
+    from alacjax.oracle.encoder import bytes_shifted_for_depth
+
+    bs = bytes_shifted_for_depth(cfg.bit_depth)
     rng = np.random.default_rng(seed)
     pkts, metas = [], []
     for i in range(B):
@@ -75,7 +84,8 @@ def _build_batch(cfg, seed, max_order):
         orders, modes, dens, pbfs, mixbits, mixres = _rand_params(
             rng, cfg.num_channels, max_order)
         pkts.append(build_packet(cfg, pcm, orders, modes, mixres=mixres,
-                                 denshifts=dens, pbfs=pbfs, mixbits=mixbits))
+                                 denshifts=dens, pbfs=pbfs, mixbits=mixbits,
+                                 bytes_shifted=bs))
         metas.append((orders, modes, dens, pbfs, mixbits, mixres))
     return pkts, metas
 
