@@ -10,8 +10,9 @@ journal design keeps the invariant that everything written is complete:
 
 ``resumable_encode`` appends a chunk of packets + sizes, fsyncs, then
 updates the journal; a crash between steps loses at most one chunk of
-work and never corrupts output.  ``finalize`` assembles the real CAF and
-removes the sidecars.  Works with any packet-codec backend.
+work and never corrupts output.  ``finalize`` assembles the real
+container (CAF, or M4A by output extension) and removes the sidecars.
+Works with any packet-codec backend.
 """
 
 from __future__ import annotations
@@ -198,7 +199,11 @@ def finalize(wav_path: str, out_path: str, backend: str = "jax") -> None:
                   frames_per_packet=cfg.frame_length,
                   cookie=serialize_cookie(cfg_out), packets=packets,
                   num_valid_frames=st.num_samples)
-    write_caf(caf, out_path)
+    if out_path.lower().endswith((".m4a", ".mp4")):
+        from .containers.mp4 import write_m4a
+        write_m4a(caf, out_path)
+    else:
+        write_caf(caf, out_path)
     for p in _paths(out_path):
         if os.path.exists(p):
             os.remove(p)

@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="checkpointed encode: journal progress next to the "
                         "output and resume after interruption "
-                        "(WAV->CAF only)")
+                        "(WAV->CAF/M4A only)")
     p.add_argument("--verbose", "-v", action="store_true")
     return p
 

@@ -89,3 +89,19 @@ def test_config_change_restarts(rng, tmp_path):
                                      backend="oracle", chunk_frames=4)
     assert st.num_frames == (S * 7 + 50) // 64
     assert st.frames_done == st.num_frames
+
+
+def test_resumable_encode_to_m4a(rng, tmp_path):
+    """finalize picks the container by output extension: .m4a goes
+    through containers/mp4.py with the same journal machinery."""
+    from alacjax.containers import read_m4a
+
+    wav = tmp_path / "in.wav"
+    out = tmp_path / "out.m4a"
+    x = _make_wav(rng, wav)
+    checkpoint.resumable_encode(str(wav), str(out), frame_length=S,
+                                backend="oracle", chunk_frames=3)
+    checkpoint.finalize(str(wav), str(out), backend="oracle")
+    assert not os.path.exists(str(out) + ".journal")
+    back = decode_caf_to_wav(read_m4a(str(out)), backend="oracle")
+    np.testing.assert_array_equal(unpack_pcm(back.data, 16, 2), x)
