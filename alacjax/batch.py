@@ -1,0 +1,255 @@
+"""Many-file batched transcoding — the device codec's lane dimension
+applied ACROSS files.
+
+The reference CLI converts one file per invocation (convert-utility/
+main.cpp :: main); on a batch accelerator that wastes the lane axis — a
+30-frame file pads to the 256-frame device chunk, so 100 short files pay
+100 chunk launches where two would do.  Here the frames of MANY files
+share device batches: files group by codec parameters, their frames
+(full frames AND partial tails together, via per-lane sample counts —
+codec.encode_frames_ex / decode_frames_ex) concatenate into one frame
+stream, and the packet list splits back per file afterwards.
+
+Byte-identical to converting each file alone: the device encoder is
+independent-frames by design (packets carry no cross-frame state), so
+cross-FILE batching cannot change any packet — tests/test_batch.py
+asserts equality against the single-file path for every file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from .containers.caf import CafFile, read_caf, write_caf
+from .containers.pcm import pack_pcm, unpack_pcm
+from .containers.wav import WavFile, read_wav, write_wav
+from .cookie import parse_cookie, serialize_cookie
+from .types import AlacConfig, AlacParamError
+
+_ENC_EXTS = (".wav",)
+_DEC_EXTS = (".caf", ".m4a", ".mp4")
+
+# sample_rate / cookie stats do not enter the packet math (they are
+# cookie-only fields); normalizing them in the CODEC key lets files with
+# different rates share one compiled executable
+_CANON_RATE = 44100
+
+
+def _read_container(path: str) -> CafFile:
+    if path.lower().endswith(".caf"):
+        return read_caf(path)
+    from .containers.mp4 import read_m4a
+    return read_m4a(path)
+
+
+def _write_container(caf: CafFile, path: str) -> None:
+    if path.lower().endswith(".caf"):
+        write_caf(caf, path)
+    else:
+        from .containers.mp4 import write_m4a
+        write_m4a(caf, path)
+
+
+def _frames_of(pcm: np.ndarray, S: int):
+    """(C, N) planar -> ((n_pk, C, S) int32 zero-padded frames, (n_pk,)
+    per-frame sample counts).  Mirrors codec._jax_encode_stream's split."""
+    C, N = pcm.shape
+    nf, rem = divmod(N, S)
+    n_pk = nf + (1 if rem else 0)
+    frames = np.zeros((n_pk, C, S), dtype=np.int32)
+    if nf:
+        frames[:nf] = np.transpose(pcm[:, : nf * S].reshape(C, nf, S),
+                                   (1, 0, 2))
+    nums = np.full((n_pk,), S, dtype=np.int32)
+    if rem:
+        frames[nf, :, :rem] = pcm[:, nf * S:]
+        nums[nf] = rem
+    return frames, nums
+
+
+def _caf_for(wav: WavFile, packets: list[bytes], frame_length: int,
+             n_samples: int, fast_mode: bool) -> CafFile:
+    """Cookie stats computed per file (maxFrameBytes / avgBitRate), like
+    convert.encode_wav_to_caf."""
+    total = sum(map(len, packets))
+    cfg = AlacConfig(
+        frame_length=frame_length, bit_depth=wav.bit_depth,
+        num_channels=wav.num_channels, sample_rate=wav.sample_rate,
+        fast_mode=fast_mode,
+        max_frame_bytes=max(map(len, packets)) if packets else 0,
+        avg_bit_rate=(int(total * 8 * wav.sample_rate // n_samples)
+                      if n_samples else 0),
+    )
+    return CafFile(
+        sample_rate=wav.sample_rate, bit_depth=wav.bit_depth,
+        num_channels=wav.num_channels, frames_per_packet=frame_length,
+        cookie=serialize_cookie(cfg), packets=packets,
+        num_valid_frames=n_samples,
+    )
+
+
+def _encode_group(jobs, frame_length: int, fast_mode: bool,
+                  chunk: int | None) -> None:
+    """jobs: list of dicts with wav/pcm/out; one device batch per group."""
+    from .codec import DEFAULT_CHUNK, get_codec
+
+    first = jobs[0]["wav"]
+    config = AlacConfig(
+        frame_length=frame_length, bit_depth=first.bit_depth,
+        num_channels=first.num_channels, sample_rate=_CANON_RATE,
+        fast_mode=fast_mode)
+    plans = []
+    for j in jobs:
+        frames, nums = _frames_of(j["pcm"], frame_length)
+        plans.append((j, frames, nums))
+    all_frames = np.concatenate([p[1] for p in plans], axis=0) \
+        if plans else np.zeros((0, config.num_channels, frame_length),
+                               np.int32)
+    all_nums = np.concatenate([p[2] for p in plans], axis=0)
+    codec = get_codec(config, chunk or DEFAULT_CHUNK)
+    if all_frames.shape[0] == 0:
+        packets = []
+    elif (all_nums == frame_length).all():
+        packets = codec.encode_frames(all_frames)
+    else:
+        packets = codec.encode_frames_ex(all_frames, all_nums)
+    off = 0
+    for j, frames, nums in plans:
+        n_pk = frames.shape[0]
+        pkts = packets[off:off + n_pk]
+        off += n_pk
+        caf = _caf_for(j["wav"], pkts, frame_length, j["pcm"].shape[1],
+                       fast_mode)
+        _write_container(caf, j["out"])
+
+
+def _decode_group(jobs, chunk: int | None) -> None:
+    """jobs: list of dicts with caf/config/out; one device batch."""
+    from .codec import DEFAULT_CHUNK, get_codec
+
+    S = jobs[0]["config"].frame_length
+    codec_cfg = dataclasses.replace(
+        jobs[0]["config"], max_frame_bytes=0, avg_bit_rate=0,
+        sample_rate=_CANON_RATE)
+    plans, all_pkts = [], []
+    for j in jobs:
+        caf = j["caf"]
+        n_full, rem = divmod(caf.num_valid_frames, S)
+        n_full = min(n_full, len(caf.packets))
+        rem = caf.num_valid_frames - n_full * S
+        if rem and len(caf.packets) <= n_full:
+            raise AlacParamError(
+                f"{j['src']}: missing packets for trailing samples")
+        n_pk = n_full + (1 if rem else 0)
+        plans.append((j, len(all_pkts), n_pk, n_full, rem))
+        all_pkts.extend(caf.packets[:n_pk])
+    if all_pkts:
+        pcm_all, nums = get_codec(
+            codec_cfg, chunk or DEFAULT_CHUNK).decode_frames_ex(all_pkts)
+    else:
+        pcm_all = np.zeros((0, codec_cfg.num_channels, S), np.int64)
+        nums = np.zeros((0,), np.int64)
+    for j, off, n_pk, n_full, rem in plans:
+        caf = j["caf"]
+        f_nums = nums[off:off + n_pk]
+        if (f_nums[:n_full] != S).any():
+            raise AlacParamError(f"{j['src']}: unexpected partial frame")
+        if rem and f_nums[n_full] != rem:
+            raise AlacParamError(
+                f"{j['src']}: tail packet has {int(f_nums[n_full])} "
+                f"samples, expected {rem}")
+        out = np.zeros((caf.num_channels, caf.num_valid_frames),
+                       dtype=np.int64)
+        if n_full:
+            out[:, : n_full * S] = np.transpose(
+                pcm_all[off:off + n_full], (1, 0, 2)).reshape(
+                    caf.num_channels, n_full * S)
+        if rem:
+            out[:, n_full * S:] = pcm_all[off + n_full, :, :rem]
+        write_wav(WavFile(sample_rate=caf.sample_rate,
+                          bit_depth=caf.bit_depth,
+                          num_channels=caf.num_channels,
+                          data=pack_pcm(out, caf.bit_depth)), j["out"])
+
+
+def _out_path(in_path: str, outdir: str, to: str | None) -> str:
+    stem = os.path.splitext(os.path.basename(in_path))[0]
+    if in_path.lower().endswith(_ENC_EXTS):
+        ext = to or "caf"
+        if ext == "wav":
+            raise AlacParamError(f"{in_path}: wav -> wav is not a conversion")
+    elif in_path.lower().endswith(_DEC_EXTS):
+        ext = to or "wav"
+        if ext != "wav":
+            raise AlacParamError(
+                f"{in_path}: batch decode targets wav (got --to {ext})")
+    else:
+        raise AlacParamError(f"{in_path}: unsupported input extension")
+    return os.path.join(outdir, stem + "." + ext)
+
+
+def convert_many(inputs: list[str], outdir: str, to: str | None = None,
+                 frame_length: int = 4096, fast_mode: bool = False,
+                 backend: str = "jax", chunk: int | None = None) -> list[str]:
+    """Convert many files in shared device batches.
+
+    inputs: .wav files (encoded to .caf/.m4a per ``to``) and/or
+    .caf/.m4a files (decoded to .wav), mixed freely; outputs land in
+    ``outdir`` under the input basename.  Encode jobs group by
+    (bit_depth, channels) and decode jobs by codec cookie parameters;
+    each group runs as ONE batched device stream.  With a non-jax
+    backend the files convert one by one through convert.convert_file
+    (no cross-file batching on a scalar host codec).
+
+    Returns the output paths in input order.
+    """
+    outs = [_out_path(p, outdir, to) for p in inputs]
+    seen: dict[str, str] = {}
+    for i, o in zip(inputs, outs):
+        if o in seen:
+            raise AlacParamError(
+                f"output collision: {seen[o]} and {i} both -> {o}")
+        seen[o] = i
+    os.makedirs(outdir, exist_ok=True)
+
+    if backend != "jax":
+        from .convert import convert_file
+        for i, o in zip(inputs, outs):
+            if i.lower().endswith(_ENC_EXTS):
+                convert_file(i, o, frame_length=frame_length,
+                             fast_mode=fast_mode, backend=backend)
+            else:
+                convert_file(i, o, backend=backend)
+        return outs
+
+    enc_groups: dict[tuple, list] = {}
+    dec_groups: dict[AlacConfig, list] = {}
+    for i, o in zip(inputs, outs):
+        if i.lower().endswith(_ENC_EXTS):
+            wav = read_wav(i)
+            pcm = unpack_pcm(wav.data, wav.bit_depth, wav.num_channels)
+            key = (wav.bit_depth, wav.num_channels)
+            enc_groups.setdefault(key, []).append(
+                dict(wav=wav, pcm=pcm, out=o, src=i))
+        elif i.lower().endswith(_DEC_EXTS):
+            caf = _read_container(i)
+            config = parse_cookie(caf.cookie)
+            if config.num_channels != caf.num_channels:
+                raise AlacParamError(
+                    f"{i}: cookie/desc channel count mismatch")
+            key = dataclasses.replace(config, max_frame_bytes=0,
+                                      avg_bit_rate=0,
+                                      sample_rate=_CANON_RATE)
+            dec_groups.setdefault(key, []).append(
+                dict(caf=caf, config=config, out=o, src=i))
+        else:
+            raise AlacParamError(f"{i}: unsupported input extension")
+
+    for jobs in enc_groups.values():
+        _encode_group(jobs, frame_length, fast_mode, chunk)
+    for jobs in dec_groups.values():
+        _decode_group(jobs, chunk)
+    return outs

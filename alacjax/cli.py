@@ -23,8 +23,18 @@ def build_parser() -> argparse.ArgumentParser:
                     "WAV->CAF/M4A encodes; CAF/M4A->WAV decodes; "
                     "CAF<->M4A repacks without transcoding.",
     )
-    p.add_argument("input", help="input file (.wav, .caf, .m4a/.mp4)")
-    p.add_argument("output", help="output file (.caf, .m4a/.mp4, .wav)")
+    p.add_argument("files", nargs="+", metavar="FILE",
+                   help="INPUT OUTPUT for a single conversion, or (with "
+                        "--outdir) one or more INPUTs converted in shared "
+                        "device batches")
+    p.add_argument("--outdir", metavar="DIR", default=None,
+                   help="batch mode: convert every FILE into DIR in "
+                        "shared device batches (many short files encode/"
+                        "decode as one accelerator stream); output names "
+                        "keep the input basename")
+    p.add_argument("--to", choices=("caf", "m4a", "wav"), default=None,
+                   help="batch mode target container for encodes "
+                        "(default caf; decodes always target wav)")
     p.add_argument("--frame-size", type=int, default=4096, metavar="N",
                    help="samples per packet (default 4096)")
     p.add_argument("--fast", action="store_true",
@@ -111,7 +121,13 @@ def _jax_backend_usable(timeout_s: float = 60.0) -> bool:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.outdir is None:
+        if len(args.files) != 2:
+            parser.error("expected INPUT OUTPUT (or use --outdir for "
+                         "batch mode)")
+        args.input, args.output = args.files
 
     backend = args.backend
     if backend is None:
@@ -126,6 +142,21 @@ def main(argv=None) -> int:
     from .convert import convert_file
     t0 = time.time()
     try:
+        if args.outdir is not None:
+            from .batch import convert_many
+            outs = convert_many(
+                args.files, args.outdir, to=args.to,
+                frame_length=args.frame_size, fast_mode=args.fast,
+                backend=backend)
+            if args.verbose:
+                import os
+                dt = time.time() - t0
+                in_sz = sum(os.path.getsize(f) for f in args.files)
+                out_sz = sum(os.path.getsize(f) for f in outs)
+                print(f"{len(args.files)} files ({in_sz}B) -> "
+                      f"{args.outdir} ({out_sz}B) "
+                      f"[backend={backend}, {dt:.2f}s]")
+            return 0
         if args.resume and args.input.lower().endswith(".wav"):
             from . import checkpoint
             checkpoint.resumable_encode(
