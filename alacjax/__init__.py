@@ -18,11 +18,12 @@ from .types import (
 from .cookie import parse_cookie, serialize_cookie
 from .bitbuffer import BitBuffer
 from .oracle import ALACDecoder, ALACEncoder
+from .reader import AlacReader
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AlacConfig", "AlacError", "AlacParamError", "AlacUnimplementedError",
     "ElementTag", "parse_cookie", "serialize_cookie", "BitBuffer",
-    "ALACEncoder", "ALACDecoder", "__version__",
+    "ALACEncoder", "ALACDecoder", "AlacReader", "__version__",
 ]
