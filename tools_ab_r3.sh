@@ -17,6 +17,8 @@ run python -u bench.py
 # multi-program runs (tests/conftest.py note); knob sweeps isolate theirs
 run env ALACJAX_DECODE_G=16 JAX_COMPILATION_CACHE_DIR=/tmp/jc_g16 python -u bench.py
 run env ALACJAX_DECODE_UNROLL=2 JAX_COMPILATION_CACHE_DIR=/tmp/jc_u2 python -u bench.py
+# 2b. batch-size probe: B=4096 beat 1024 in r2; test the next doubling
+run env JAX_COMPILATION_CACHE_DIR=/tmp/jc_b8192 python -u bench.py 8192 4
 # 3. per-config at both batch points (compare vs r2 BASELINE.md table;
 #    pre-outage tree for any regressed config: a20bd59^)
 run python -u bench_configs.py 1024 5
