@@ -4,6 +4,7 @@ These are the gather/scatter-free building blocks of the generalized
 packet assembler (escape bodies, shift-byte blocks at every depth)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from alacjax.ops import bitpack
@@ -131,3 +132,27 @@ def test_combine_chunks_overflow_poisons_lane():
     # impossible for the small true values — loud, not a dropped word
     assert (out[1] >> 31 == 1).all(), (
         f"over-budget lane must be poisoned, got {out[1].tolist()}")
+
+
+def test_host_serializers_match_reference_semantics(rng):
+    """words_to_bytes/bytes_to_words (the hot host boundary) against the
+    plain astype('>u4') spec, including empty-batch/zero-word/zero-bit
+    edges and the oversize guard."""
+    from alacjax.ops.bitpack import bytes_to_words, words_to_bytes
+
+    for B, W in ((0, 8), (3, 0), (1, 1), (7, 33), (64, 130)):
+        words = rng.integers(0, 2**32, (B, W), dtype=np.uint64).astype(
+            np.uint32)
+        bits = rng.integers(0, W * 32 + 1, (B,))
+        pk = words_to_bytes(words, bits)
+        raw = words.astype(">u4").tobytes()
+        assert pk == [raw[b * W * 4: b * W * 4 + (int(bits[b]) + 7) // 8]
+                      for b in range(B)], (B, W)
+        if W:
+            wr = bytes_to_words(pk, W)
+            full = wr.astype(">u4").tobytes()
+            for b in range(B):
+                nb = (int(bits[b]) + 7) // 8
+                assert full[b * W * 4: b * W * 4 + nb] == pk[b]
+    with pytest.raises(ValueError):
+        bytes_to_words([b"x" * 9], 2)
