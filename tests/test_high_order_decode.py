@@ -71,6 +71,19 @@ def build_packet(cfg, pcm, orders, modes, mixres=2, denshifts=None,
             bits.write(mixbits, 8)
             bits.write(mixres & 0xFF, 8)
             u, v = matrix.mix(his[0], his[1], mixbits, mixres)
+            # Encodable-domain invariant: dyn_comp's escape writes exactly
+            # chanbits bits, so every residual must fit chanbits.  pc_block
+            # wraps all outputs EXCEPT the first-sample / order-0
+            # passthroughs (reference semantics), so the INPUT streams must
+            # already fit.  Convex mixes satisfy this by construction;
+            # hostile (non-convex) fuzz mixres can overflow — wrap here
+            # (identity for every legal mix).  Found by the fuzz soak:
+            # an order-0 + cascade channel fed an unwrapped stream
+            # desynced the decoder's zero-run state via escape truncation.
+            half = 1 << (chanbits - 1)
+            mask = (1 << chanbits) - 1
+            u = ((u.astype(np.int64) + half) & mask) - half
+            v = ((v.astype(np.int64) + half) & mask) - half
             streams = [u, v]
         else:
             chanbits = cfg.bit_depth - 8 * bs
