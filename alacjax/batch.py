@@ -92,7 +92,7 @@ def _caf_for(wav: WavFile, packets: list[bytes], frame_length: int,
 
 
 def _encode_group(jobs, frame_length: int, fast_mode: bool,
-                  chunk: int | None) -> None:
+                  chunk: int | None, search: str) -> None:
     """jobs: list of dicts with wav/pcm/out; one device batch per group."""
     from .codec import DEFAULT_CHUNK, get_codec
 
@@ -100,7 +100,7 @@ def _encode_group(jobs, frame_length: int, fast_mode: bool,
     config = AlacConfig(
         frame_length=frame_length, bit_depth=first.bit_depth,
         num_channels=first.num_channels, sample_rate=_CANON_RATE,
-        fast_mode=fast_mode)
+        fast_mode=fast_mode, search=search)
     plans = []
     for j in jobs:
         frames, nums = _frames_of(j["pcm"], frame_length)
@@ -193,7 +193,8 @@ def _out_path(in_path: str, outdir: str, to: str | None) -> str:
 
 def convert_many(inputs: list[str], outdir: str, to: str | None = None,
                  frame_length: int = 4096, fast_mode: bool = False,
-                 backend: str = "jax", chunk: int | None = None) -> list[str]:
+                 backend: str = "jax", chunk: int | None = None,
+                 search: str = "standard") -> list[str]:
     """Convert many files in shared device batches.
 
     inputs: .wav files (encoded to .caf/.m4a per ``to``) and/or
@@ -220,7 +221,8 @@ def convert_many(inputs: list[str], outdir: str, to: str | None = None,
         for i, o in zip(inputs, outs):
             if i.lower().endswith(_ENC_EXTS):
                 convert_file(i, o, frame_length=frame_length,
-                             fast_mode=fast_mode, backend=backend)
+                             fast_mode=fast_mode, backend=backend,
+                             search=search)
             else:
                 convert_file(i, o, backend=backend)
         return outs
@@ -249,7 +251,7 @@ def convert_many(inputs: list[str], outdir: str, to: str | None = None,
             raise AlacParamError(f"{i}: unsupported input extension")
 
     for jobs in enc_groups.values():
-        _encode_group(jobs, frame_length, fast_mode, chunk)
+        _encode_group(jobs, frame_length, fast_mode, chunk, search)
     for jobs in dec_groups.values():
         _decode_group(jobs, chunk)
     return outs

@@ -49,7 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="standard",
                    help="encoder parameter search: standard (dilated "
                         "mixres trial) or exhaustive (full-rate trials "
-                        "over every mixres; best rate, host codec)")
+                        "over every mixres; best rate — device-batched "
+                        "with --independent-frames on the jax backend, "
+                        "host codec otherwise)")
     p.add_argument("--resume", action="store_true",
                    help="checkpointed encode: journal progress next to the "
                         "output and resume after interruption "
@@ -147,7 +149,7 @@ def main(argv=None) -> int:
             outs = convert_many(
                 args.files, args.outdir, to=args.to,
                 frame_length=args.frame_size, fast_mode=args.fast,
-                backend=backend)
+                backend=backend, search=args.search)
             if args.verbose:
                 import os
                 dt = time.time() - t0

@@ -401,50 +401,127 @@ def _encode_packet_chunks(pcm, config: AlacConfig, num_words: int,
             tag=tag, instance=instance, width=width, is_cpe=is_cpe,
             chanbits=chanbits, chans=chans, his=his, los=los, ch0=ch0))
 
-    # ---- pass 1b: stereo mode for all CPE elements, one stacked trial ----
+    exhaustive = config.search == "exhaustive" and not config.fast_mode
+    if exhaustive and banks is not None:
+        raise AlacParamError(
+            "exhaustive device search is independent-frames only "
+            "(persistent-bank stream encode uses the standard search; "
+            "the stateful host encoders cover exhaustive+banks)")
+
     cpes = [e for e in elems if e["is_cpe"]]
-    if config.fast_mode:
-        for e in cpes:
-            e["mixres_win"] = jnp.full((B,), FAST_MIX_RES, dtype=I32)
-    elif cpes:
-        sels = _mixres_select([(e["his"][0], e["his"][1]) for e in cpes],
-                              cpes[0]["chanbits"], config, nums=nums)
-        for e, sel in zip(cpes, sels):
-            e["mixres_win"] = sel
-    for e in elems:
-        if e["is_cpe"]:
-            u, v = matrix.mix(e["his"][0], e["his"][1], DEFAULT_MIX_BITS,
-                              e["mixres_win"][:, None])
-            e["streams"] = [u, v]
-        else:
-            e["mixres_win"] = jnp.zeros((B,), dtype=I32)
-            e["streams"] = [e["his"][0]]
+    if exhaustive:
+        # ---- exhaustive: ALL (mixres x order x stage) candidates of ALL
+        # channels priced in the SAME stacked dual-cost scan the standard
+        # path uses.  The scan is latency-bound, not lane-bound, so the
+        # 5x lane widening costs far less than the 5x SERIAL full-rate
+        # trials the host pays (reference: --search exhaustive =
+        # EncodeStereo's kMaxRes loop at full rate, oracle/encoder.py
+        # :: _encode_cpe mix_list branch).  The dilated mixres trial
+        # pass disappears entirely.
+        all_streams, all_cb = [], []
+        for e in elems:
+            if e["is_cpe"]:
+                slots = []
+                for mr in range(MAX_RES + 1):
+                    u, v = matrix.mix(e["his"][0], e["his"][1],
+                                      DEFAULT_MIX_BITS, mr)
+                    slots.append(len(all_streams))
+                    all_streams += [u, v]
+                    all_cb += [e["chanbits"]] * 2
+                e["slots"] = slots
+            else:
+                e["slots"] = [len(all_streams)]
+                all_streams.append(e["his"][0])
+                all_cb.append(e["chanbits"])
+        (res_l, orders_l, modes_l, rice_l, coefs0_l, _adapted) = (
+            _search_channels(all_streams, all_cb, config, nums=nums))
+        for e in elems:
+            e["adapted"] = None
+            if not e["is_cpe"]:
+                i0 = e["slots"][0]
+                e["mixres_win"] = jnp.zeros((B,), dtype=I32)
+                e["res_win"] = [res_l[i0]]
+                e["orders_win"] = [orders_l[i0]]
+                e["modes_win"] = [modes_l[i0]]
+                e["rice_bits"] = [rice_l[i0]]
+                e["coefs0_win"] = [coefs0_l[i0]]
+                continue
+            # per-mixres element cost = both channels' chparam + coef +
+            # rice bits (shared fields are candidate-invariant — the
+            # host's win_u.cost + win_v.cost comparison); strict < over
+            # mixres 0..4 == argmin's first-minimum rule
+            tot = jnp.stack(
+                [sum(16 + 16 * orders_l[s + c] + rice_l[s + c]
+                     for c in range(2)) for s in e["slots"]], axis=0)
+            mr_win = jnp.argmin(tot, axis=0).astype(I32)
+            e["mixres_win"] = mr_win
 
-    if stop_at == "mix":  # profiling truncation (prof_trunc.py)
-        return [e["streams"] for e in elems]
+            def pick(by_mr, mr_win=mr_win):
+                out = by_mr[0]
+                for m in range(1, MAX_RES + 1):
+                    hit = mr_win == m
+                    sel = hit[:, None] if by_mr[m].ndim == 2 else hit
+                    out = jnp.where(sel, by_mr[m], out)
+                return out
 
-    # ---- pass 1c: ONE stacked search over every channel of the packet ----
-    all_streams, all_cb, all_banks = [], [], []
+            e["res_win"] = [pick([res_l[s + c] for s in e["slots"]])
+                            for c in range(2)]
+            e["orders_win"] = [pick([orders_l[s + c] for s in e["slots"]])
+                               for c in range(2)]
+            e["modes_win"] = [pick([modes_l[s + c] for s in e["slots"]])
+                              for c in range(2)]
+            e["rice_bits"] = [pick([rice_l[s + c] for s in e["slots"]])
+                              for c in range(2)]
+            e["coefs0_win"] = [pick([coefs0_l[s + c] for s in e["slots"]])
+                               for c in range(2)]
+    else:
+        # ---- pass 1b: stereo mode for all CPEs, one stacked trial ----
+        if config.fast_mode:
+            for e in cpes:
+                e["mixres_win"] = jnp.full((B,), FAST_MIX_RES, dtype=I32)
+        elif cpes:
+            sels = _mixres_select([(e["his"][0], e["his"][1]) for e in cpes],
+                                  cpes[0]["chanbits"], config, nums=nums)
+            for e, sel in zip(cpes, sels):
+                e["mixres_win"] = sel
+        for e in elems:
+            if e["is_cpe"]:
+                u, v = matrix.mix(e["his"][0], e["his"][1], DEFAULT_MIX_BITS,
+                                  e["mixres_win"][:, None])
+                e["streams"] = [u, v]
+            else:
+                e["mixres_win"] = jnp.zeros((B,), dtype=I32)
+                e["streams"] = [e["his"][0]]
+
+        if stop_at == "mix":  # profiling truncation (prof_trunc.py)
+            return [e["streams"] for e in elems]
+
+        # ---- pass 1c: ONE stacked search over every channel ----
+        all_streams, all_cb, all_banks = [], [], []
+        for e in elems:
+            all_streams.extend(e["streams"])
+            all_cb.extend([e["chanbits"]] * e["width"])
+            if banks is not None:
+                all_banks.extend(banks[e["ch0"] + i]
+                                 for i in range(e["width"]))
+        (res_l, orders_l, modes_l, rice_l, coefs0_l, adapted_l) = (
+            _search_channels(all_streams, all_cb, config,
+                             banks=all_banks if banks is not None else None,
+                             nums=nums))
+        ci0 = 0
+        for e in elems:
+            w = e["width"]
+            sl = slice(ci0, ci0 + w)
+            ci0 += w
+            e["res_win"] = res_l[sl]
+            e["orders_win"] = orders_l[sl]
+            e["modes_win"] = modes_l[sl]
+            e["rice_bits"] = rice_l[sl]
+            e["coefs0_win"] = coefs0_l[sl]
+            e["adapted"] = adapted_l[sl]
+
+    # ---- shared: per-element header / escape sizing ----
     for e in elems:
-        all_streams.extend(e["streams"])
-        all_cb.extend([e["chanbits"]] * e["width"])
-        if banks is not None:
-            all_banks.extend(banks[e["ch0"] + i] for i in range(e["width"]))
-    (res_l, orders_l, modes_l, rice_l, coefs0_l, adapted_l) = (
-        _search_channels(all_streams, all_cb, config,
-                         banks=all_banks if banks is not None else None,
-                         nums=nums))
-    ci0 = 0
-    for e in elems:
-        w = e["width"]
-        sl = slice(ci0, ci0 + w)
-        ci0 += w
-        e["res_win"] = res_l[sl]
-        e["orders_win"] = orders_l[sl]
-        e["modes_win"] = modes_l[sl]
-        e["rice_bits"] = rice_l[sl]
-        e["coefs0_win"] = coefs0_l[sl]
-        e["adapted"] = adapted_l[sl]
         is_cpe, width = e["is_cpe"], e["width"]
         # +16: mixBits/mixRes are present in EVERY non-escape element
         # (mono writes 0,0) — reference grammar confirmed vs libavcodec

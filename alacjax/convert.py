@@ -73,7 +73,17 @@ def encode_wav_to_caf(wav: WavFile, frame_length: int = 4096,
         fast_mode=fast_mode,
     )
     pcm = unpack_pcm(wav.data, wav.bit_depth, wav.num_channels)
-    if search == "exhaustive":
+    if search == "exhaustive" and backend == "jax" and independent_frames:
+        # exhaustive at DEVICE speed: the whole (mixres x order x stage)
+        # candidate grid rides the same stacked scan as the standard
+        # search (codec.py exhaustive branch); independent-frames only
+        # (the device encoder's state policy), byte-identical to the
+        # stateless host exhaustive encoders
+        import dataclasses as _dc
+        encode_stream, _ = get_backend(backend)
+        packets = encode_stream(_dc.replace(config, search="exhaustive"),
+                                pcm)
+    elif search == "exhaustive":
         # maximal-rate host path (full-rate trials over every mixres);
         # native C++ if built, scalar oracle otherwise — byte-identical
         try:

@@ -78,10 +78,12 @@ class NativeEncoder:
     """Stateful native packet encoder (mirrors oracle.ALACEncoder)."""
 
     def __init__(self, config: AlacConfig, independent_frames: bool = False,
-                 search: str = "standard"):
+                 search: str | None = None):
         lib = _load()
         if lib is None:
             raise AlacError(-4, f"native codec unavailable: {_build_error}")
+        if search is None:  # inherit the config knob (default "standard")
+            search = getattr(config, "search", "standard")
         if search not in ("standard", "exhaustive"):
             raise AlacParamError(f"unknown search mode {search!r}")
         self._lib = lib

@@ -101,7 +101,9 @@ class ALACEncoder:
     """Stateful packet encoder mirroring the reference class surface."""
 
     def __init__(self, config: AlacConfig, independent_frames: bool = False,
-                 search: str = "standard"):
+                 search: str | None = None):
+        if search is None:  # inherit the config knob (default "standard")
+            search = getattr(config, "search", "standard")
         if search not in ("standard", "exhaustive"):
             raise AlacParamError(f"unknown search mode {search!r}")
         self.config = config

@@ -170,8 +170,14 @@ class AlacConfig:
 
     # --- rebuild-only knobs (not serialized in the cookie) ---
     fast_mode: bool = False
+    # encoder parameter search: "standard" (dilated mixres trial, the
+    # reference dialect) or "exhaustive" (every mixres priced at full
+    # rate — best rate; device-batched in codec.py, host in oracle/native)
+    search: str = "standard"
 
     def __post_init__(self):
+        if self.search not in ("standard", "exhaustive"):
+            raise AlacParamError(f"unknown search mode {self.search!r}")
         if self.bit_depth not in (16, 20, 24, 32):
             raise AlacParamError(f"unsupported bit depth {self.bit_depth}")
         if not (1 <= self.num_channels <= kALACMaxChannels):

@@ -130,8 +130,12 @@ def main() -> int:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 
+    # ALACJAX_BENCH_SEARCH=exhaustive prices the full device candidate
+    # grid (A/B knob; the headline stays the standard reference dialect)
     config = AlacConfig(bit_depth=16, num_channels=2, frame_length=S,
-                        sample_rate=44100)
+                        sample_rate=44100,
+                        search=os.environ.get("ALACJAX_BENCH_SEARCH",
+                                              "standard"))
     codec = get_codec(config, chunk=B)
 
     pcm = make_music(B, S)

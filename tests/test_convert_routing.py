@@ -1,0 +1,54 @@
+"""Backend routing in convert.encode_wav_to_caf (fast tier — the jax
+backend is faked, so no device compile)."""
+
+import numpy as np
+
+from alacjax import convert
+from alacjax.containers.pcm import pack_pcm
+from alacjax.containers.wav import WavFile
+from alacjax.oracle import ALACEncoder
+
+S = 64
+
+
+def _wav(rng, n=3 * S + 5):
+    pcm = rng.integers(-500, 500, (2, n))
+    return WavFile(44100, 16, 2, pack_pcm(pcm, 16))
+
+
+def _fake_jax_backend(calls):
+    def enc(config, pcm):
+        calls.append(config)
+        e = ALACEncoder(config, independent_frames=True)
+        return [e.encode_packet(pcm[:, o:o + config.frame_length])
+                for o in range(0, pcm.shape[1], config.frame_length)]
+    return (enc, None)
+
+
+def test_exhaustive_routes_to_device_when_independent(monkeypatch, rng):
+    calls = []
+    monkeypatch.setitem(convert._BACKENDS, "jax", _fake_jax_backend(calls))
+    caf = convert.encode_wav_to_caf(
+        _wav(rng), frame_length=S, backend="jax",
+        independent_frames=True, search="exhaustive")
+    assert len(calls) == 1 and calls[0].search == "exhaustive"
+    assert len(caf.packets) == 4
+
+
+def test_exhaustive_stateful_stays_on_host(monkeypatch, rng):
+    """Without independent frames the persistent-bank host codec runs
+    (the device encoder cannot do stateful exhaustive)."""
+    calls = []
+    monkeypatch.setitem(convert._BACKENDS, "jax", _fake_jax_backend(calls))
+    wav = _wav(rng)
+    caf = convert.encode_wav_to_caf(wav, frame_length=S, backend="jax",
+                                    search="exhaustive")
+    assert calls == []  # jax backend untouched
+    # bytes == the stateful host exhaustive encoder
+    from alacjax.containers.pcm import unpack_pcm
+    pcm = unpack_pcm(wav.data, 16, 2)
+    enc = ALACEncoder(convert.AlacConfig(
+        frame_length=S, bit_depth=16, num_channels=2), search="exhaustive")
+    want = [enc.encode_packet(pcm[:, o:o + S])
+            for o in range(0, pcm.shape[1], S)]
+    assert caf.packets == want
