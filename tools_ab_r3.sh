@@ -19,6 +19,9 @@ run env ALACJAX_DECODE_G=16 JAX_COMPILATION_CACHE_DIR=/tmp/jc_g16 python -u benc
 run env ALACJAX_DECODE_UNROLL=2 JAX_COMPILATION_CACHE_DIR=/tmp/jc_u2 python -u bench.py
 # 2b. batch-size probe: B=4096 beat 1024 in r2; test the next doubling
 run env JAX_COMPILATION_CACHE_DIR=/tmp/jc_b8192 python -u bench.py 8192 4
+# 2c. exhaustive-search throughput (device candidate grid vs the host's
+#     5x serial trials; baseline denominator runs exhaustive too)
+run env ALACJAX_BENCH_SEARCH=exhaustive JAX_COMPILATION_CACHE_DIR=/tmp/jc_exh python -u bench.py 1024 5
 # 3. per-config at both batch points (compare vs r2 BASELINE.md table;
 #    pre-outage tree for any regressed config: a20bd59^)
 run python -u bench_configs.py 1024 5
