@@ -159,7 +159,37 @@ def main(argv=None) -> int:
                       f"{args.outdir} ({out_sz}B) "
                       f"[backend={backend}, {dt:.2f}s]")
             return 0
-        if args.resume and args.input.lower().endswith(".wav"):
+        if args.input == "-" or args.output == "-":
+            # pipe mode: '-' reads stdin / writes stdout; input format is
+            # sniffed from content, output format from the extension or
+            # --to (default: wav -> caf, caf/m4a -> wav)
+            if args.resume:
+                raise AlacError(-50, "--resume requires real file paths")
+            from .convert import convert_bytes, sniff_format
+            blob = (sys.stdin.buffer.read() if args.input == "-"
+                    else open(args.input, "rb").read())
+            if args.output == "-":
+                in_fmt = sniff_format(blob)
+                out_fmt = args.to or ("caf" if in_fmt == "wav" else "wav")
+            else:
+                ext = args.output.rsplit(".", 1)[-1].lower()
+                out_fmt = {"caf": "caf", "m4a": "m4a", "mp4": "m4a",
+                           "wav": "wav"}.get(ext)
+                if out_fmt is None:
+                    raise AlacError(-50, f"unsupported output extension "
+                                    f".{ext}")
+            out = convert_bytes(
+                blob, out_fmt, frame_length=args.frame_size,
+                fast_mode=args.fast,
+                independent_frames=args.independent_frames,
+                backend=backend, search=args.search)
+            if args.output == "-":
+                sys.stdout.buffer.write(out)
+                sys.stdout.buffer.flush()
+            else:
+                with open(args.output, "wb") as f:
+                    f.write(out)
+        elif args.resume and args.input.lower().endswith(".wav"):
             from . import checkpoint
             checkpoint.resumable_encode(
                 args.input, args.output, frame_length=args.frame_size,

@@ -137,6 +137,39 @@ def decode_caf_to_wav(caf: CafFile, backend: str = "oracle") -> WavFile:
     )
 
 
+def sniff_format(blob: bytes) -> str:
+    """Identify a container by CONTENT (pipe inputs have no extension)."""
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    if blob[:4] == b"caff":
+        return "caf"
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        return "m4a"
+    raise AlacParamError("unrecognized container (expected WAV, CAF, or M4A)")
+
+
+def convert_bytes(blob: bytes, out_fmt: str, **kw) -> bytes:
+    """In-memory conversion for pipe I/O (CLI '-' paths): input format
+    sniffed from content; returns the output container bytes.  Encode
+    kwargs (frame_length/fast_mode/...) apply only on the wav side;
+    decode honors ``backend``."""
+    from .containers.mp4 import read_m4a, write_m4a
+
+    in_fmt = sniff_format(blob)
+    if in_fmt == "wav" and out_fmt in ("caf", "m4a"):
+        caf = encode_wav_to_caf(read_wav(blob), **kw)
+        return write_caf(caf) if out_fmt == "caf" else write_m4a(caf)
+    if in_fmt in ("caf", "m4a") and out_fmt == "wav":
+        caf = read_caf(blob) if in_fmt == "caf" else read_m4a(blob)
+        return write_wav(decode_caf_to_wav(
+            caf, backend=kw.get("backend", "oracle")))
+    if in_fmt == "caf" and out_fmt == "m4a":
+        return write_m4a(read_caf(blob))      # repack, no transcode
+    if in_fmt == "m4a" and out_fmt == "caf":
+        return write_caf(read_m4a(blob))
+    raise AlacParamError(f"unsupported conversion {in_fmt} -> {out_fmt}")
+
+
 def convert_file(in_path: str, out_path: str, **kw) -> None:
     """alacconvert-compatible: direction inferred from extensions.
 

@@ -52,3 +52,62 @@ def test_exhaustive_stateful_stays_on_host(monkeypatch, rng):
     want = [enc.encode_packet(pcm[:, o:o + S])
             for o in range(0, pcm.shape[1], S)]
     assert caf.packets == want
+
+
+class _Stdin:
+    def __init__(self, data):
+        import io
+        self.buffer = io.BytesIO(data)
+
+
+class _Stdout:
+    def __init__(self):
+        import io
+        self.buffer = io.BytesIO()
+
+
+def test_cli_pipe_roundtrip(monkeypatch, rng, tmp_path):
+    """'-' paths: wav bytes in -> m4a bytes out -> wav bytes back,
+    content-sniffed, lossless."""
+    import sys
+
+    from alacjax.cli import main
+    from alacjax.containers.pcm import unpack_pcm
+    from alacjax.containers.wav import read_wav, write_wav
+
+    wav = _wav(rng)
+    wav_bytes = write_wav(wav)
+
+    out1 = _Stdout()
+    monkeypatch.setattr(sys, "stdin", _Stdin(wav_bytes))
+    monkeypatch.setattr(sys, "stdout", out1)
+    assert main(["-", "-", "--to", "m4a", "--frame-size", str(S),
+                 "--backend", "oracle"]) == 0
+    m4a_bytes = out1.buffer.getvalue()
+    assert m4a_bytes[4:8] == b"ftyp"
+
+    out2 = _Stdout()
+    monkeypatch.setattr(sys, "stdin", _Stdin(m4a_bytes))
+    monkeypatch.setattr(sys, "stdout", out2)
+    assert main(["-", "-", "--backend", "oracle"]) == 0
+    got = read_wav(out2.buffer.getvalue())
+    np.testing.assert_array_equal(
+        unpack_pcm(got.data, 16, 2),
+        unpack_pcm(wav.data, 16, 2))
+
+    # '-' with a real file on the other side; resume is rejected
+    out3 = tmp_path / "p.caf"
+    monkeypatch.setattr(sys, "stdin", _Stdin(wav_bytes))
+    assert main(["-", str(out3), "--frame-size", str(S),
+                 "--backend", "oracle"]) == 0
+    assert out3.read_bytes()[:4] == b"caff"
+    assert main(["-", "-", "--resume", "--backend", "oracle"]) != 0
+
+
+def test_cli_pipe_garbage_fails_closed(monkeypatch, rng):
+    import sys
+
+    from alacjax.cli import main
+    monkeypatch.setattr(sys, "stdin", _Stdin(b"not a container at all"))
+    monkeypatch.setattr(sys, "stdout", _Stdout())
+    assert main(["-", "-", "--backend", "oracle"]) != 0
