@@ -1301,9 +1301,16 @@ class JaxCodec:
 
     # -- encode ---------------------------------------------------------
     def encode_frames(self, pcm: np.ndarray) -> list[bytes]:
-        """(nf, C, S) planar int -> list of nf packets."""
+        """(nf, C, S) planar int -> list of nf packets.
+
+        Chunks are PIPELINED: jax dispatch is async, so chunk k+1's
+        device work is launched before chunk k's results are read back
+        and serialized — the host's words_to_bytes pass rides under the
+        device's compute instead of serializing with it (one chunk of
+        lookahead: bounded memory)."""
         nf = pcm.shape[0]
         packets = []
+        pending = None  # (n, (words, bits)) still on device
         for off in range(0, nf, self.chunk):
             block = pcm[off:off + self.chunk]
             n = block.shape[0]
@@ -1311,9 +1318,16 @@ class JaxCodec:
                 block = np.concatenate(
                     [block, np.zeros((self.chunk - n,) + block.shape[1:],
                                      dtype=block.dtype)], axis=0)
-            words, bits = self._encode(jnp.asarray(block.astype(np.int32)))
+            fut = self._encode(jnp.asarray(block.astype(np.int32)))
+            if pending is not None:
+                n0, (w0, b0) = pending
+                packets.extend(bitpack.words_to_bytes(
+                    np.asarray(w0)[:n0], np.asarray(b0)[:n0]))
+            pending = (n, fut)
+        if pending is not None:
+            n0, (w0, b0) = pending
             packets.extend(bitpack.words_to_bytes(
-                np.asarray(words)[:n], np.asarray(bits)[:n]))
+                np.asarray(w0)[:n0], np.asarray(b0)[:n0]))
         return packets
 
     def encode_frames_ex(self, pcm: np.ndarray,
@@ -1326,6 +1340,7 @@ class JaxCodec:
         S = self.config.frame_length
         nf = pcm.shape[0]
         packets = []
+        pending = None  # pipelined like encode_frames
         for off in range(0, nf, self.chunk):
             block = pcm[off:off + self.chunk]
             nm = np.asarray(nums[off:off + self.chunk], dtype=np.int32)
@@ -1336,10 +1351,17 @@ class JaxCodec:
                     [block, np.zeros((pad,) + block.shape[1:],
                                      dtype=block.dtype)], axis=0)
                 nm = np.concatenate([nm, np.full((pad,), S, np.int32)])
-            words, bits = self._encode_ex(
+            fut = self._encode_ex(
                 jnp.asarray(block.astype(np.int32)), jnp.asarray(nm))
+            if pending is not None:
+                n0, (w0, b0) = pending
+                packets.extend(bitpack.words_to_bytes(
+                    np.asarray(w0)[:n0], np.asarray(b0)[:n0]))
+            pending = (n, fut)
+        if pending is not None:
+            n0, (w0, b0) = pending
             packets.extend(bitpack.words_to_bytes(
-                np.asarray(words)[:n], np.asarray(bits)[:n]))
+                np.asarray(w0)[:n0], np.asarray(b0)[:n0]))
         return packets
 
     # -- decode ---------------------------------------------------------
@@ -1353,13 +1375,24 @@ class JaxCodec:
         nf = len(packets)
         out = np.zeros((nf, cfg.num_channels, S), dtype=np.int64)
         nums = np.full((nf,), S, dtype=np.int64)
-        for off in range(0, nf, self.chunk):
+
+        def dispatch(off):
+            """Host word prep + async device decode for one chunk."""
             blk = packets[off:off + self.chunk]
             n = len(blk)
             padded = blk + [b""] * (self.chunk - n)
-            words = bitpack.bytes_to_words(padded, self.num_words)
-            wdev = jnp.asarray(words)
-            pcm, err, num = self._decode(wdev)
+            wdev = jnp.asarray(bitpack.bytes_to_words(padded,
+                                                      self.num_words))
+            return off, n, blk, wdev, self._decode(wdev)
+
+        # pipelined: chunk k+1's host prep + device launch happen before
+        # chunk k's readback/fallback processing (one chunk of lookahead)
+        offs = list(range(0, nf, self.chunk))
+        pending = dispatch(offs[0]) if offs else None
+        for i in range(len(offs)):
+            cur = pending
+            pending = dispatch(offs[i + 1]) if i + 1 < len(offs) else None
+            off, n, blk, wdev, (pcm, err, num) = cur
             pcm = np.asarray(pcm)[:n]
             err = np.asarray(err)[:n]
             out[off:off + n] = pcm
@@ -1381,11 +1414,11 @@ class JaxCodec:
                     err = err & ~fixed
             if err.any():
                 dec = OracleDecoder(cfg)
-                for i in np.nonzero(err)[0]:
-                    y, got = dec.decode_packet(blk[i])
-                    out[off + i, :, :got] = y[:, :got]
-                    out[off + i, :, got:] = 0
-                    nums[off + i] = got
+                for j in np.nonzero(err)[0]:
+                    y, got = dec.decode_packet(blk[j])
+                    out[off + j, :, :got] = y[:, :got]
+                    out[off + j, :, got:] = 0
+                    nums[off + j] = got
         return out, nums
 
     def decode_frames(self, packets: list[bytes]) -> np.ndarray:
