@@ -191,10 +191,27 @@ def _out_path(in_path: str, outdir: str, to: str | None) -> str:
     return os.path.join(outdir, stem + "." + ext)
 
 
+def _output_valid(out: str) -> bool:
+    """Resume check: does an existing output parse cleanly?  (Outputs
+    are written whole via the container writers, so a parseable file is
+    a completed file; a crash mid-write leaves an unparseable one.)"""
+    if not os.path.exists(out):
+        return False
+    try:
+        if out.lower().endswith(".wav"):
+            read_wav(out)
+        else:
+            _read_container(out)
+        return True
+    except Exception:
+        return False
+
+
 def convert_many(inputs: list[str], outdir: str, to: str | None = None,
                  frame_length: int = 4096, fast_mode: bool = False,
                  backend: str = "jax", chunk: int | None = None,
-                 search: str = "standard") -> list[str]:
+                 search: str = "standard", resume: bool = False
+                 ) -> list[str]:
     """Convert many files in shared device batches.
 
     inputs: .wav files (encoded to .caf/.m4a per ``to``) and/or
@@ -204,6 +221,10 @@ def convert_many(inputs: list[str], outdir: str, to: str | None = None,
     each group runs as ONE batched device stream.  With a non-jax
     backend the files convert one by one through convert.convert_file
     (no cross-file batching on a scalar host codec).
+
+    resume=True skips inputs whose output already exists and parses
+    cleanly — rerun the same command after an interruption and only the
+    missing/corrupt outputs are redone.
 
     Returns the output paths in input order.
     """
@@ -216,9 +237,18 @@ def convert_many(inputs: list[str], outdir: str, to: str | None = None,
         seen[o] = i
     os.makedirs(outdir, exist_ok=True)
 
+    if resume:
+        todo = [(i, o) for i, o in zip(inputs, outs)
+                if not _output_valid(o)]
+        if not todo:
+            return outs
+        inputs, pend_outs = [list(t) for t in zip(*todo)]
+    else:
+        pend_outs = outs
+
     if backend != "jax":
         from .convert import convert_file
-        for i, o in zip(inputs, outs):
+        for i, o in zip(inputs, pend_outs):
             if i.lower().endswith(_ENC_EXTS):
                 convert_file(i, o, frame_length=frame_length,
                              fast_mode=fast_mode, backend=backend,
@@ -229,7 +259,7 @@ def convert_many(inputs: list[str], outdir: str, to: str | None = None,
 
     enc_groups: dict[tuple, list] = {}
     dec_groups: dict[AlacConfig, list] = {}
-    for i, o in zip(inputs, outs):
+    for i, o in zip(inputs, pend_outs):
         if i.lower().endswith(_ENC_EXTS):
             wav = read_wav(i)
             pcm = unpack_pcm(wav.data, wav.bit_depth, wav.num_channels)

@@ -55,7 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="checkpointed encode: journal progress next to the "
                         "output and resume after interruption "
-                        "(WAV->CAF/M4A only)")
+                        "(WAV->CAF/M4A only); in batch mode (--outdir), "
+                        "skip inputs whose output already exists and "
+                        "parses cleanly")
     p.add_argument("--verbose", "-v", action="store_true")
     return p
 
@@ -149,7 +151,8 @@ def main(argv=None) -> int:
             outs = convert_many(
                 args.files, args.outdir, to=args.to,
                 frame_length=args.frame_size, fast_mode=args.fast,
-                backend=backend, search=args.search)
+                backend=backend, search=args.search,
+                resume=args.resume)
             if args.verbose:
                 import os
                 dt = time.time() - t0

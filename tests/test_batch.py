@@ -128,3 +128,33 @@ def test_batch_device_grouped_byte_parity(tmp_path, rng):
         assert (got.bit_depth, got.num_channels) == (depth, nch)
         np.testing.assert_array_equal(
             unpack_pcm(got.data, got.bit_depth, got.num_channels), pcm)
+
+
+def test_batch_resume_skips_valid_outputs(tmp_path, rng):
+    """resume=True redoes only missing/corrupt outputs: completed files
+    keep their bytes (and mtimes), a truncated output is rewritten."""
+    import os
+    import time
+
+    srcs = []
+    for i in range(3):
+        p = tmp_path / f"r{i}.wav"
+        _make_wav(p, rng, S + i)
+        srcs.append(str(p))
+    out = tmp_path / "enc"
+    outs = convert_many(srcs, str(out), frame_length=S, backend="oracle")
+    # corrupt one output, delete another
+    with open(outs[1], "wb") as f:
+        f.write(b"caff\x00\x01trunc")
+    os.remove(outs[2])
+    mtime0 = os.path.getmtime(outs[0])
+    time.sleep(0.05)
+    outs2 = convert_many(srcs, str(out), frame_length=S, backend="oracle",
+                         resume=True)
+    assert outs2 == outs
+    assert os.path.getmtime(outs[0]) == mtime0  # untouched
+    single = str(tmp_path / "single1.caf")
+    from alacjax.convert import convert_file
+    convert_file(srcs[1], single, frame_length=S, backend="oracle")
+    assert open(outs[1], "rb").read() == open(single, "rb").read()
+    assert os.path.exists(outs[2])
