@@ -42,6 +42,9 @@ B = 8
 GRAMMAR_SHAPES = [(16, 1), (16, 2), (16, 3), (16, 6), (16, 8),
                   (20, 2), (24, 2), (32, 2)]
 CONTENT_SHAPES = [(16, 2), (16, 6), (20, 2), (24, 2), (32, 2), (16, 8)]
+# device exhaustive search vs the host exhaustive encoder (the whole
+# candidate grid's selection/tie-break logic under adversarial content)
+EXHAUSTIVE_SHAPES = [(16, 2), (24, 2)]
 
 
 def gen_adversarial(rng, nch: int, n: int, depth: int) -> np.ndarray:
@@ -106,6 +109,18 @@ def content_round(cfg, codec, seed):
                                       err_msg=f"decode seed {seed} frame {i}")
 
 
+def exhaustive_round(cfg, codec, seed):
+    """Device exhaustive grid == host exhaustive encoder, byte for byte."""
+    rng = np.random.default_rng(seed)
+    x = np.stack([gen_adversarial(rng, cfg.num_channels, S, cfg.bit_depth)
+                  for _ in range(B)])
+    pkts = codec.encode_frames(x)
+    enc = ALACEncoder(cfg, independent_frames=True)  # inherits cfg.search
+    for i in range(B):
+        want = enc.encode_packet(x[i])
+        assert pkts[i] == want, f"exhaustive divergence frame {i} seed {seed}"
+
+
 def main():
     minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 30.0
     seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -117,6 +132,10 @@ def main():
              for cfg in (AlacConfig(bit_depth=d, num_channels=c,
                                     frame_length=S)
                          for d, c in CONTENT_SHAPES)]
+    ecfgs = [(cfg, get_codec(cfg, chunk=B))
+             for cfg in (AlacConfig(bit_depth=d, num_channels=c,
+                                    frame_length=S, search="exhaustive")
+                         for d, c in EXHAUSTIVE_SHAPES)]
     rounds = 0
     seed = seed0
     while time.time() < deadline:
@@ -124,13 +143,16 @@ def main():
             grammar_round(cfg, seed=10_000_000 + seed)
         for cfg, codec in ccfgs:
             content_round(cfg, codec, seed=20_000_000 + seed)
+        for cfg, codec in ecfgs:
+            exhaustive_round(cfg, codec, seed=30_000_000 + seed)
         seed += 1
         rounds += 1
         print(f"[soak] round {rounds} clean (seed {seed - 1}, "
-              f"{len(gcfgs)} grammar + {len(ccfgs)} content shapes)",
-              flush=True)
+              f"{len(gcfgs)} grammar + {len(ccfgs)} content + "
+              f"{len(ecfgs)} exhaustive shapes)", flush=True)
     print(f"[soak] DONE: {rounds} rounds clean "
-          f"({rounds * (len(gcfgs) * B + len(ccfgs) * B)} packet batches)")
+          f"({rounds * (len(gcfgs) + len(ccfgs) + len(ecfgs)) * B} "
+          f"packet batches)")
     return 0
 
 
