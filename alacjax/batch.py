@@ -25,7 +25,7 @@ import numpy as np
 
 from .containers.caf import CafFile, read_caf, write_caf
 from .containers.pcm import pack_pcm, unpack_pcm
-from .containers.wav import WavFile, read_wav, write_wav
+from .containers.wav import WavFile, probe_wav, read_wav, write_wav
 from .cookie import parse_cookie, serialize_cookie
 from .types import AlacConfig, AlacParamError
 
@@ -91,52 +91,117 @@ def _caf_for(wav: WavFile, packets: list[bytes], frame_length: int,
     )
 
 
+def _slice_budget(chunk: int | None) -> int:
+    """Packets per device slice: a few chunks' worth, so huge batches
+    stream through bounded memory (files load lazily per slice)."""
+    from .codec import DEFAULT_CHUNK
+    return 4 * (chunk or DEFAULT_CHUNK)
+
+
 def _encode_group(jobs, frame_length: int, fast_mode: bool,
                   chunk: int | None, search: str) -> None:
-    """jobs: list of dicts with wav/pcm/out; one device batch per group."""
+    """jobs: list of dicts with src/out (planned via header probes);
+    PCM loads lazily, a slice of files at a time, each slice one batched
+    device stream — a 10k-file batch never holds 10k files in memory."""
     from .codec import DEFAULT_CHUNK, get_codec
 
-    first = jobs[0]["wav"]
     config = AlacConfig(
-        frame_length=frame_length, bit_depth=first.bit_depth,
-        num_channels=first.num_channels, sample_rate=_CANON_RATE,
+        frame_length=frame_length, bit_depth=jobs[0]["info"].bit_depth,
+        num_channels=jobs[0]["info"].num_channels, sample_rate=_CANON_RATE,
         fast_mode=fast_mode, search=search)
-    plans = []
-    for j in jobs:
-        frames, nums = _frames_of(j["pcm"], frame_length)
-        plans.append((j, frames, nums))
-    all_frames = np.concatenate([p[1] for p in plans], axis=0) \
-        if plans else np.zeros((0, config.num_channels, frame_length),
-                               np.int32)
-    all_nums = np.concatenate([p[2] for p in plans], axis=0)
     codec = get_codec(config, chunk or DEFAULT_CHUNK)
-    if all_frames.shape[0] == 0:
-        packets = []
-    elif (all_nums == frame_length).all():
-        packets = codec.encode_frames(all_frames)
-    else:
-        packets = codec.encode_frames_ex(all_frames, all_nums)
-    off = 0
-    for j, frames, nums in plans:
-        n_pk = frames.shape[0]
-        pkts = packets[off:off + n_pk]
-        off += n_pk
-        caf = _caf_for(j["wav"], pkts, frame_length, j["pcm"].shape[1],
-                       fast_mode)
-        _write_container(caf, j["out"])
+    budget = _slice_budget(chunk)
+
+    pend: list[tuple] = []  # (job, wav, frames, nums, n_samples)
+    pend_pk = 0
+
+    def flush():
+        nonlocal pend, pend_pk
+        if not pend:
+            return
+        all_frames = np.concatenate([p[2] for p in pend], axis=0)
+        all_nums = np.concatenate([p[3] for p in pend], axis=0)
+        if all_frames.shape[0] == 0:
+            packets = []
+        elif (all_nums == frame_length).all():
+            packets = codec.encode_frames(all_frames)
+        else:
+            packets = codec.encode_frames_ex(all_frames, all_nums)
+        off = 0
+        for j, wav, frames, _nums, n_samples in pend:
+            n_pk = frames.shape[0]
+            caf = _caf_for(wav, packets[off:off + n_pk], frame_length,
+                           n_samples, fast_mode)
+            _write_container(caf, j["out"])
+            off += n_pk
+        pend, pend_pk = [], 0
+
+    for j in jobs:
+        wav = read_wav(j["src"])
+        if (wav.bit_depth, wav.num_channels) != (
+                jobs[0]["info"].bit_depth, jobs[0]["info"].num_channels):
+            raise AlacParamError(f"{j['src']}: file changed during batch")
+        pcm = unpack_pcm(wav.data, wav.bit_depth, wav.num_channels)
+        frames, nums = _frames_of(pcm, frame_length)
+        pend.append((j, wav, frames, nums, pcm.shape[1]))
+        pend_pk += frames.shape[0]
+        if pend_pk >= budget:
+            flush()
+    flush()
 
 
 def _decode_group(jobs, chunk: int | None) -> None:
-    """jobs: list of dicts with caf/config/out; one device batch."""
+    """jobs: list of dicts with src/out/key (planned via a cookie pass);
+    containers re-read lazily per slice, each slice one device batch."""
     from .codec import DEFAULT_CHUNK, get_codec
 
-    S = jobs[0]["config"].frame_length
-    codec_cfg = dataclasses.replace(
-        jobs[0]["config"], max_frame_bytes=0, avg_bit_rate=0,
-        sample_rate=_CANON_RATE)
-    plans, all_pkts = [], []
+    key = jobs[0]["key"]
+    S = key.frame_length
+    codec = get_codec(key, chunk or DEFAULT_CHUNK)
+    budget = _slice_budget(chunk)
+
+    pend: list[tuple] = []  # (job, caf, n_pk, n_full, rem)
+    pend_pk = 0
+
+    def flush():
+        nonlocal pend, pend_pk
+        if not pend:
+            return
+        all_pkts = []
+        for _j, caf, n_pk, _nf, _r in pend:
+            all_pkts.extend(caf.packets[:n_pk])
+        pcm_all, nums = codec.decode_frames_ex(all_pkts)
+        off = 0
+        for j, caf, n_pk, n_full, rem in pend:
+            f_nums = nums[off:off + n_pk]
+            if (f_nums[:n_full] != S).any():
+                raise AlacParamError(
+                    f"{j['src']}: unexpected partial frame")
+            if rem and f_nums[n_full] != rem:
+                raise AlacParamError(
+                    f"{j['src']}: tail packet has {int(f_nums[n_full])} "
+                    f"samples, expected {rem}")
+            out = np.zeros((caf.num_channels, caf.num_valid_frames),
+                           dtype=np.int64)
+            if n_full:
+                out[:, : n_full * S] = np.transpose(
+                    pcm_all[off:off + n_full], (1, 0, 2)).reshape(
+                        caf.num_channels, n_full * S)
+            if rem:
+                out[:, n_full * S:] = pcm_all[off + n_full, :, :rem]
+            write_wav(WavFile(sample_rate=caf.sample_rate,
+                              bit_depth=caf.bit_depth,
+                              num_channels=caf.num_channels,
+                              data=pack_pcm(out, caf.bit_depth)), j["out"])
+            off += n_pk
+        pend, pend_pk = [], 0
+
     for j in jobs:
-        caf = j["caf"]
+        caf = _read_container(j["src"])
+        config = parse_cookie(caf.cookie)
+        if dataclasses.replace(config, max_frame_bytes=0, avg_bit_rate=0,
+                               sample_rate=_CANON_RATE) != key:
+            raise AlacParamError(f"{j['src']}: file changed during batch")
         n_full, rem = divmod(caf.num_valid_frames, S)
         n_full = min(n_full, len(caf.packets))
         rem = caf.num_valid_frames - n_full * S
@@ -144,35 +209,11 @@ def _decode_group(jobs, chunk: int | None) -> None:
             raise AlacParamError(
                 f"{j['src']}: missing packets for trailing samples")
         n_pk = n_full + (1 if rem else 0)
-        plans.append((j, len(all_pkts), n_pk, n_full, rem))
-        all_pkts.extend(caf.packets[:n_pk])
-    if all_pkts:
-        pcm_all, nums = get_codec(
-            codec_cfg, chunk or DEFAULT_CHUNK).decode_frames_ex(all_pkts)
-    else:
-        pcm_all = np.zeros((0, codec_cfg.num_channels, S), np.int64)
-        nums = np.zeros((0,), np.int64)
-    for j, off, n_pk, n_full, rem in plans:
-        caf = j["caf"]
-        f_nums = nums[off:off + n_pk]
-        if (f_nums[:n_full] != S).any():
-            raise AlacParamError(f"{j['src']}: unexpected partial frame")
-        if rem and f_nums[n_full] != rem:
-            raise AlacParamError(
-                f"{j['src']}: tail packet has {int(f_nums[n_full])} "
-                f"samples, expected {rem}")
-        out = np.zeros((caf.num_channels, caf.num_valid_frames),
-                       dtype=np.int64)
-        if n_full:
-            out[:, : n_full * S] = np.transpose(
-                pcm_all[off:off + n_full], (1, 0, 2)).reshape(
-                    caf.num_channels, n_full * S)
-        if rem:
-            out[:, n_full * S:] = pcm_all[off + n_full, :, :rem]
-        write_wav(WavFile(sample_rate=caf.sample_rate,
-                          bit_depth=caf.bit_depth,
-                          num_channels=caf.num_channels,
-                          data=pack_pcm(out, caf.bit_depth)), j["out"])
+        pend.append((j, caf, n_pk, n_full, rem))
+        pend_pk += n_pk
+        if pend_pk >= budget:
+            flush()
+    flush()
 
 
 def _out_path(in_path: str, outdir: str, to: str | None) -> str:
@@ -257,15 +298,16 @@ def convert_many(inputs: list[str], outdir: str, to: str | None = None,
                 convert_file(i, o, backend=backend)
         return outs
 
+    # planning pass holds only header metadata (probe_wav / the cookie);
+    # payloads load lazily inside the group processors, a slice at a time
     enc_groups: dict[tuple, list] = {}
     dec_groups: dict[AlacConfig, list] = {}
     for i, o in zip(inputs, pend_outs):
         if i.lower().endswith(_ENC_EXTS):
-            wav = read_wav(i)
-            pcm = unpack_pcm(wav.data, wav.bit_depth, wav.num_channels)
-            key = (wav.bit_depth, wav.num_channels)
+            info = probe_wav(i)
+            key = (info.bit_depth, info.num_channels)
             enc_groups.setdefault(key, []).append(
-                dict(wav=wav, pcm=pcm, out=o, src=i))
+                dict(info=info, out=o, src=i))
         elif i.lower().endswith(_DEC_EXTS):
             caf = _read_container(i)
             config = parse_cookie(caf.cookie)
@@ -276,7 +318,8 @@ def convert_many(inputs: list[str], outdir: str, to: str | None = None,
                                       avg_bit_rate=0,
                                       sample_rate=_CANON_RATE)
             dec_groups.setdefault(key, []).append(
-                dict(caf=caf, config=config, out=o, src=i))
+                dict(key=key, out=o, src=i))
+            del caf
         else:
             raise AlacParamError(f"{i}: unsupported input extension")
 

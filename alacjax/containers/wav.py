@@ -34,6 +34,30 @@ class WavFile:
         return len(self.data) // (self.container_bytes * self.num_channels)
 
 
+def _parse_fmt(fmt: bytes):
+    """Validate a fmt chunk -> (rate, valid_bits, nch, container_bits)."""
+    (tag, nch, rate, _brate, _align, container_bits) = struct.unpack_from(
+        "<HHIIHH", fmt, 0)
+    valid_bits = container_bits
+    if tag == WAVE_FORMAT_EXTENSIBLE:
+        if len(fmt) < 40:
+            raise AlacParamError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (cb_size, valid_bits) = struct.unpack_from("<HH", fmt, 16)
+        sub = fmt[24:40]
+        if sub != _KSDATAFORMAT_SUBTYPE_PCM:
+            raise AlacParamError("extensible WAV is not integer PCM")
+    elif tag != WAVE_FORMAT_PCM:
+        raise AlacParamError(f"unsupported WAV format tag 0x{tag:04x}")
+
+    if valid_bits not in (16, 20, 24, 32):
+        raise AlacParamError(f"unsupported WAV bit depth {valid_bits}")
+    expected_container = 24 if valid_bits == 20 else valid_bits
+    if container_bits != expected_container:
+        raise AlacParamError(
+            f"container {container_bits} bits with {valid_bits} valid bits unsupported")
+    return rate, valid_bits, nch, container_bits
+
+
 def read_wav(path_or_bytes) -> WavFile:
     blob = _as_bytes(path_or_bytes)
     if len(blob) < 12 or blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
@@ -55,30 +79,54 @@ def read_wav(path_or_bytes) -> WavFile:
     if fmt is None or data is None:
         raise AlacParamError("WAV missing fmt or data chunk")
 
-    (tag, nch, rate, _brate, _align, container_bits) = struct.unpack_from(
-        "<HHIIHH", fmt, 0)
-    valid_bits = container_bits
-    if tag == WAVE_FORMAT_EXTENSIBLE:
-        if len(fmt) < 40:
-            raise AlacParamError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
-        (cb_size, valid_bits) = struct.unpack_from("<HH", fmt, 16)
-        sub = fmt[24:40]
-        if sub != _KSDATAFORMAT_SUBTYPE_PCM:
-            raise AlacParamError("extensible WAV is not integer PCM")
-    elif tag != WAVE_FORMAT_PCM:
-        raise AlacParamError(f"unsupported WAV format tag 0x{tag:04x}")
-
-    if valid_bits not in (16, 20, 24, 32):
-        raise AlacParamError(f"unsupported WAV bit depth {valid_bits}")
-    expected_container = 24 if valid_bits == 20 else valid_bits
-    if container_bits != expected_container:
-        raise AlacParamError(
-            f"container {container_bits} bits with {valid_bits} valid bits unsupported")
-
+    rate, valid_bits, nch, container_bits = _parse_fmt(fmt)
     frame_bytes = (container_bits // 8) * nch
     usable = len(data) - (len(data) % frame_bytes)
     return WavFile(sample_rate=rate, bit_depth=valid_bits, num_channels=nch,
                    data=data[:usable])
+
+
+@dataclasses.dataclass
+class WavInfo:
+    sample_rate: int
+    bit_depth: int
+    num_channels: int
+    num_samples: int
+
+
+def probe_wav(path: str) -> WavInfo:
+    """Header-only probe: fmt fields + the data chunk's sample count
+    WITHOUT loading the payload — batch planning over thousands of files
+    stays O(one header) in memory (batch.convert_many)."""
+    import os
+
+    with open(path, "rb") as f:
+        file_size = os.fstat(f.fileno()).st_size
+        head = f.read(12)
+        if len(head) < 12 or head[0:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise AlacParamError("not a RIFF/WAVE file")
+        fmt = None
+        data_size = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = struct.unpack("<4sI", hdr)
+            size = min(size, max(0, file_size - f.tell()))  # truncated files
+            if cid == b"fmt ":
+                fmt = f.read(size)
+                if size & 1:
+                    f.seek(1, 1)
+            else:
+                if cid == b"data":
+                    data_size = size
+                f.seek(size + (size & 1), 1)
+    if fmt is None or data_size is None:
+        raise AlacParamError("WAV missing fmt or data chunk")
+    rate, valid_bits, nch, container_bits = _parse_fmt(fmt)
+    frame_bytes = (container_bits // 8) * nch
+    return WavInfo(sample_rate=rate, bit_depth=valid_bits, num_channels=nch,
+                   num_samples=data_size // frame_bytes)
 
 
 def write_wav(wav: WavFile, path: str | None = None) -> bytes:

@@ -103,8 +103,11 @@ def test_batch_device_grouped_byte_parity(tmp_path, rng):
     grouped into shared device batches; every output CAF's packets are
     byte-identical to the per-frame oracle, and the batch decode is
     lossless."""
-    jobs = [  # (n, nch, depth) — two groups: 16/2 and 24/1
-        (2 * S, 2, 16), (S + 9, 2, 16), (7, 2, 16),
+    jobs = [  # (n, nch, depth) — two groups: 16/2 and 24/1; the 16/2
+        # group carries ~11 packets so the 4*chunk=8 slice budget flushes
+        # MID-GROUP (the bounded-memory streaming path), not just at the end
+        (2 * S, 2, 16), (2 * S, 2, 16), (S + 9, 2, 16), (2 * S, 2, 16),
+        (7, 2, 16),
         (S + 1, 1, 24), (3 * S, 1, 24),
     ]
     srcs, pcms = [], []
@@ -114,7 +117,7 @@ def test_batch_device_grouped_byte_parity(tmp_path, rng):
         srcs.append(str(p))
 
     outs = convert_many(srcs, str(tmp_path / "enc"), frame_length=S,
-                        backend="jax", chunk=4)
+                        backend="jax", chunk=2)
     for (n, nch, depth), src, out, pcm in zip(jobs, srcs, outs, pcms):
         cfg = AlacConfig(frame_length=S, bit_depth=depth, num_channels=nch)
         caf = read_caf(out)
@@ -122,7 +125,7 @@ def test_batch_device_grouped_byte_parity(tmp_path, rng):
         assert caf.packets == _expected_packets(pcm, cfg), src
 
     wavs = convert_many(outs, str(tmp_path / "dec"), backend="jax",
-                        chunk=4)
+                        chunk=2)
     for (n, nch, depth), pcm, w in zip(jobs, pcms, wavs):
         got = read_wav(w)
         assert (got.bit_depth, got.num_channels) == (depth, nch)
@@ -158,3 +161,36 @@ def test_batch_resume_skips_valid_outputs(tmp_path, rng):
     convert_file(srcs[1], single, frame_length=S, backend="oracle")
     assert open(outs[1], "rb").read() == open(single, "rb").read()
     assert os.path.exists(outs[2])
+
+
+def test_probe_wav_matches_read_wav(tmp_path, rng):
+    from alacjax.containers.wav import probe_wav, read_wav
+
+    for i, (n, nch, depth) in enumerate([(S + 3, 2, 16), (5, 1, 24),
+                                         (0, 2, 32), (2 * S, 6, 20)]):
+        p = tmp_path / f"p{i}.wav"
+        _make_wav(p, rng, n, nch=nch, depth=depth)
+        info = probe_wav(str(p))
+        w = read_wav(str(p))
+        assert (info.bit_depth, info.num_channels, info.sample_rate) == (
+            w.bit_depth, w.num_channels, w.sample_rate)
+        assert info.num_samples == w.num_frames == n
+
+
+def test_batch_many_files_oracle_matches_single(tmp_path, rng):
+    """Planning over many files (header probes + grouping) on the oracle
+    backend; slicing itself is a jax-path feature covered by the
+    slow-tier device test."""
+    from alacjax.convert import convert_file
+
+    srcs = []
+    for i in range(6):
+        p = tmp_path / f"s{i}.wav"
+        _make_wav(p, rng, S + 11 * i)
+        srcs.append(str(p))
+    outs = convert_many(srcs, str(tmp_path / "enc"), frame_length=S,
+                        backend="oracle")
+    for i, (src, out) in enumerate(zip(srcs, outs)):
+        single = str(tmp_path / f"sg{i}.caf")
+        convert_file(src, single, frame_length=S, backend="oracle")
+        assert open(out, "rb").read() == open(single, "rb").read(), src
