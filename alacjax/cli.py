@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(WAV->CAF/M4A only); in batch mode (--outdir), "
                         "skip inputs whose output already exists and "
                         "parses cleanly")
+    p.add_argument("--check", action="store_true",
+                   help="after encoding, decode the output back and "
+                        "verify it matches the source sample-for-sample "
+                        "(exit nonzero on any mismatch)")
     p.add_argument("--verbose", "-v", action="store_true")
     return p
 
@@ -124,6 +128,17 @@ def _jax_backend_usable(timeout_s: float = 60.0) -> bool:
         return False
 
 
+def _check_single(args, backend: str) -> None:
+    """--check for single-file encodes: decode the output back and
+    compare against the source sample-for-sample."""
+    if not args.check:
+        return
+    from .convert import verify_lossless
+    n = verify_lossless(args.input, args.output, backend=backend)
+    print(f"alacconvert: --check OK ({n} samples lossless)",
+          file=sys.stderr)
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -153,6 +168,17 @@ def main(argv=None) -> int:
                 frame_length=args.frame_size, fast_mode=args.fast,
                 backend=backend, search=args.search,
                 resume=args.resume)
+            if args.check:
+                from .convert import verify_lossless
+                wavs = [(i, o) for i, o in zip(args.files, outs)
+                        if i.lower().endswith(".wav")]
+                if not wavs:
+                    raise AlacError(-50, "--check applies to encodes "
+                                    "(no .wav inputs in this batch)")
+                total = sum(verify_lossless(i, o, backend=backend)
+                            for i, o in wavs)
+                print(f"alacconvert: --check OK ({len(wavs)} files, "
+                      f"{total} samples lossless)", file=sys.stderr)
             if args.verbose:
                 import os
                 dt = time.time() - t0
@@ -171,8 +197,8 @@ def main(argv=None) -> int:
             from .convert import convert_bytes, sniff_format
             blob = (sys.stdin.buffer.read() if args.input == "-"
                     else open(args.input, "rb").read())
+            in_fmt = sniff_format(blob)
             if args.output == "-":
-                in_fmt = sniff_format(blob)
                 out_fmt = args.to or ("caf" if in_fmt == "wav" else "wav")
             else:
                 ext = args.output.rsplit(".", 1)[-1].lower()
@@ -186,6 +212,13 @@ def main(argv=None) -> int:
                 fast_mode=args.fast,
                 independent_frames=args.independent_frames,
                 backend=backend, search=args.search)
+            if args.check:
+                if in_fmt != "wav":
+                    raise AlacError(-50, "--check applies to encodes")
+                from .convert import verify_lossless
+                n = verify_lossless(blob, out, backend=backend)
+                print(f"alacconvert: --check OK ({n} samples lossless)",
+                      file=sys.stderr)
             if args.output == "-":
                 sys.stdout.buffer.write(out)
                 sys.stdout.buffer.flush()
@@ -198,6 +231,7 @@ def main(argv=None) -> int:
                 args.input, args.output, frame_length=args.frame_size,
                 backend=backend, fast_mode=args.fast)
             checkpoint.finalize(args.input, args.output, backend=backend)
+            _check_single(args, backend)
         elif args.input.lower().endswith(".wav"):
             convert_file(
                 args.input, args.output,
@@ -207,7 +241,10 @@ def main(argv=None) -> int:
                 backend=backend,
                 search=args.search,
             )
+            _check_single(args, backend)
         else:
+            if args.check:
+                raise AlacError(-50, "--check applies to encodes")
             convert_file(args.input, args.output, backend=backend)
     except AlacError as e:
         print(f"alacconvert: {e}", file=sys.stderr)

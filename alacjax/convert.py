@@ -137,6 +137,28 @@ def decode_caf_to_wav(caf: CafFile, backend: str = "oracle") -> WavFile:
     )
 
 
+def verify_lossless(wav_src, alac_bytes_or_path, backend: str = "oracle"
+                    ) -> int:
+    """Decode an encoded output back and compare against the source WAV
+    sample-for-sample (CLI --check).  Returns the number of samples
+    verified; raises AlacParamError on any mismatch."""
+    from .containers.mp4 import read_m4a
+
+    wav = read_wav(wav_src)
+    pcm = unpack_pcm(wav.data, wav.bit_depth, wav.num_channels)
+    blob = alac_bytes_or_path
+    if isinstance(blob, str):
+        with open(blob, "rb") as f:
+            blob = f.read()
+    caf = read_caf(blob) if blob[:4] == b"caff" else read_m4a(blob)
+    got = decode_caf_to_wav(caf, backend=backend)
+    back = unpack_pcm(got.data, got.bit_depth, got.num_channels)
+    if back.shape != pcm.shape or not (back == pcm).all():
+        raise AlacParamError("lossless check FAILED: decoded audio does "
+                             "not match the source")
+    return int(pcm.shape[1])
+
+
 def sniff_format(blob: bytes) -> str:
     """Identify a container by CONTENT (pipe inputs have no extension)."""
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":

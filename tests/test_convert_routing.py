@@ -111,3 +111,56 @@ def test_cli_pipe_garbage_fails_closed(monkeypatch, rng):
     monkeypatch.setattr(sys, "stdin", _Stdin(b"not a container at all"))
     monkeypatch.setattr(sys, "stdout", _Stdout())
     assert main(["-", "-", "--backend", "oracle"]) != 0
+
+
+def test_cli_check_flag(monkeypatch, rng, tmp_path, capsys):
+    """--check decodes the output back and verifies losslessness; a
+    corrupted output (simulated via a failing verify target) exits
+    nonzero; --check on a decode is rejected."""
+    import sys
+
+    from alacjax.cli import main
+    from alacjax.containers.wav import write_wav
+
+    wav = _wav(rng)
+    src = tmp_path / "c.wav"
+    write_wav(wav, str(src))
+
+    out = tmp_path / "c.m4a"
+    assert main([str(src), str(out), "--frame-size", str(S),
+                 "--backend", "oracle", "--check"]) == 0
+    assert "--check OK" in capsys.readouterr().err
+
+    # pipe encode with --check
+    out1 = _Stdout()
+    monkeypatch.setattr(sys, "stdin", _Stdin(write_wav(wav)))
+    monkeypatch.setattr(sys, "stdout", out1)
+    assert main(["-", "-", "--to", "caf", "--frame-size", str(S),
+                 "--backend", "oracle", "--check"]) == 0
+    assert "--check OK" in capsys.readouterr().err
+
+    # batch with --check
+    outdir = tmp_path / "b"
+    assert main([str(src), "--outdir", str(outdir), "--frame-size", str(S),
+                 "--backend", "oracle", "--check"]) == 0
+    assert "1 files" in capsys.readouterr().err
+
+    # --check on a decode: rejected
+    back = tmp_path / "c2.wav"
+    assert main([str(out), str(back), "--backend", "oracle",
+                 "--check"]) != 0
+
+    # a check that actually fails: truncate the encoded file's packets
+    # by rewriting the source wav AFTER encoding (source != output now)
+    _make_other = rng.integers(-500, 500, (2, 3 * S + 5))
+    from alacjax.containers.pcm import pack_pcm
+    from alacjax.containers.wav import WavFile
+    write_wav(WavFile(44100, 16, 2, pack_pcm(_make_other, 16)), str(src))
+    assert main([str(src), str(out), "--frame-size", str(S),
+                 "--backend", "oracle", "--check"]) == 0  # re-encodes: OK
+    write_wav(wav, str(src))  # source changed after encode -> mismatch
+    from alacjax.convert import verify_lossless
+    from alacjax.types import AlacParamError
+    import pytest as _pytest
+    with _pytest.raises(AlacParamError, match="lossless check FAILED"):
+        verify_lossless(str(src), str(out), backend="oracle")
