@@ -1439,10 +1439,22 @@ def get_codec(config: AlacConfig, chunk: int = DEFAULT_CHUNK) -> JaxCodec:
     return _CODEC_CACHE[key]
 
 
+def _codec_key_config(config: AlacConfig) -> AlacConfig:
+    """Normalize cookie-only fields before keying the codec cache:
+    sample_rate / maxFrameBytes / avgBitRate never enter the packet
+    math, so files differing only in them share ONE compiled
+    executable (first-compile on TPU is tens of seconds; without this,
+    decoding two files with different bit-rate stats compiled twice)."""
+    import dataclasses
+    return dataclasses.replace(config, sample_rate=44100,
+                               max_frame_bytes=0, avg_bit_rate=0)
+
+
 def _jax_encode_stream(config: AlacConfig, pcm: np.ndarray) -> list[bytes]:
     """convert.py backend: planar (C, N) -> packets, full frames AND the
     partial tail in one device batch (per-lane nums; reference:
     ALACEncoder.cpp Encode partial-frame path)."""
+    config = _codec_key_config(config)
     S = config.frame_length
     C = pcm.shape[0]
     N = pcm.shape[1]
@@ -1466,6 +1478,7 @@ def _jax_encode_stream(config: AlacConfig, pcm: np.ndarray) -> list[bytes]:
 
 
 def _jax_decode_stream(config: AlacConfig, packets, num_valid_frames: int) -> np.ndarray:
+    config = _codec_key_config(config)
     S = config.frame_length
     n_full = num_valid_frames // S
     n_full = min(n_full, len(packets))

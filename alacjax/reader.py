@@ -79,13 +79,11 @@ class AlacReader:
                 for i in range(len(pkts))]
         if self.backend == "jax":
             if self._codec is None:
-                import dataclasses
-
-                from .codec import DEFAULT_CHUNK, get_codec
-                self._codec = get_codec(
-                    dataclasses.replace(self.config, max_frame_bytes=0,
-                                        avg_bit_rate=0),
-                    self._chunk or DEFAULT_CHUNK)
+                from .codec import (
+                    DEFAULT_CHUNK, _codec_key_config, get_codec,
+                )
+                self._codec = get_codec(_codec_key_config(self.config),
+                                        self._chunk or DEFAULT_CHUNK)
             pcm, nums = self._codec.decode_frames_ex(pkts)
             for i, w in enumerate(want):
                 if nums[i] != w:

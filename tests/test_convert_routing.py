@@ -164,3 +164,15 @@ def test_cli_check_flag(monkeypatch, rng, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(AlacParamError, match="lossless check FAILED"):
         verify_lossless(str(src), str(out), backend="oracle")
+
+
+def test_codec_key_config_normalizes():
+    """Cookie-only fields must not fragment the compiled-codec cache."""
+    from alacjax.codec import _codec_key_config
+    a = convert.AlacConfig(bit_depth=16, num_channels=2, sample_rate=48000,
+                           max_frame_bytes=9999, avg_bit_rate=123456)
+    b = convert.AlacConfig(bit_depth=16, num_channels=2, sample_rate=96000)
+    assert _codec_key_config(a) == _codec_key_config(b)
+    c = convert.AlacConfig(bit_depth=16, num_channels=2,
+                           search="exhaustive")
+    assert _codec_key_config(c) != _codec_key_config(b)  # search is real
