@@ -6,6 +6,8 @@ fn reduces its output to a device scalar that is XOR-folded into the next
 iteration's input — a data dependency that forces sequential execution —
 and only the final scalar is read back.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (script lives in tools/)
 import sys
 import time
 

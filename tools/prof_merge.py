@@ -1,4 +1,6 @@
 #!/usr/bin/env python
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (script lives in tools/)
 """A/B: sort-based combine_chunks vs sorted scatter-add merge."""
 import sys
 import time

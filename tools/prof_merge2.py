@@ -3,6 +3,8 @@
 shuffle, on inputs matching the NEW invariant (per-lane strictly
 increasing keys, gapless word coverage, no dups — dups become tail
 words OR'd separately)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (script lives in tools/)
 import sys
 import time
 

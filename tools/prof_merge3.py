@@ -2,6 +2,8 @@
 """A/B round 2: optimized radix-shuffle variants + packed single-operand
 sorts, same invariant as prof_merge2 (strictly increasing keys, gapless
 coverage, no dups)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (script lives in tools/)
 import sys
 import time
 

@@ -4,6 +4,8 @@
 axon timing is async-weird (memory: per-call timing lies); so each phase
 is timed as a loop of N dispatches with ONE block_until_ready at the end.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (script lives in tools/)
 import sys
 import time
 

@@ -12,6 +12,8 @@ Timing: chained-scalar methodology (axon async quirk — see memory
 notes): each iteration's input depends on the previous iteration's
 reduced scalar, and only the final scalar is read back.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (script lives in tools/)
 import sys
 import time
 

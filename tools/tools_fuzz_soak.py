@@ -23,8 +23,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "tests"))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)  # script lives in tools/
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 os.environ.setdefault("ALACJAX_SCAN_UNROLL", "1")
 os.environ.setdefault("ALACJAX_DECODE_G", "2")
 

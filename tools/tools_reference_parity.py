@@ -40,7 +40,7 @@ import tempfile
 
 import numpy as np
 
-REPO = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))  # script lives in tools/
 REF = "/root/reference"
 sys.path.insert(0, REPO)
 
