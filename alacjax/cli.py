@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--independent-frames", action="store_true",
                    help="reset predictor state each packet "
                         "(enables packet-parallel encode)")
+    p.add_argument("--devices", type=int, default=None, metavar="N",
+                   help="shard device batches across up to N accelerator "
+                        "devices (default: all visible devices; frame-"
+                        "parallel, packet bytes identical at any N)")
     p.add_argument("--backend", choices=("oracle", "jax"), default=None,
                    help="packet codec backend (default: jax if usable, "
                         "else oracle)")
@@ -147,6 +151,12 @@ def main(argv=None) -> int:
             parser.error("expected INPUT OUTPUT (or use --outdir for "
                          "batch mode)")
         args.input, args.output = args.files
+
+    if args.devices is not None:
+        # read lazily by codec._default_mesh at first codec construction;
+        # every downstream entry point (convert/batch/reader) inherits it
+        import os
+        os.environ["ALACJAX_DEVICES"] = str(args.devices)
 
     backend = args.backend
     if backend is None:

@@ -1250,28 +1250,61 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
 # ---------------------------------------------------------------------------
 # host orchestration: stream backend
 # ---------------------------------------------------------------------------
-class JaxCodec:
-    """Compiled batched codec for one AlacConfig (+ frame batch size)."""
+FRAMES_AXIS = "frames"  # mesh axis name for frame-parallel sharding
 
-    def __init__(self, config: AlacConfig, chunk: int = DEFAULT_CHUNK):
+
+class JaxCodec:
+    """Compiled batched codec for one AlacConfig (+ frame batch size).
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh`` over the frames axis) the
+    compiled programs shard every frame batch across the mesh's devices —
+    the kernels are per-frame-lane pure, so XLA partitions them with no
+    steady-state collectives and the packet bytes are unchanged (tested
+    byte-identical to the single-device codec).  ``chunk`` rounds up to a
+    mesh multiple; host blocks are always padded to ``chunk``, so every
+    dispatched array divides evenly across devices.
+    """
+
+    def __init__(self, config: AlacConfig, chunk: int = DEFAULT_CHUNK,
+                 mesh=None):
+        self.mesh = mesh
+        if mesh is not None and chunk % mesh.size:
+            chunk = ((chunk + mesh.size - 1) // mesh.size) * mesh.size
         self.config = config
         self.chunk = chunk
         S = config.frame_length
         self.num_words = (config.max_escape_packet_bytes(S) + 3) // 4 + 2
         self._exe = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            # every codec array is batch-leading, so ONE spec (shard axis
+            # 0, replicate the rest) serves all inputs and outputs
+            self._shard = NamedSharding(mesh, PartitionSpec(FRAMES_AXIS))
+        else:
+            self._shard = None
 
     # NOTE: calls go through ahead-of-time compiled executables rather
     # than the jit dispatch fastpath: on this jax build the fastpath
     # intermittently paired a repeat call with the wrong executable
     # ("Execution supplied 1 buffers but compiled program expected 3") in
     # long multi-config processes.  AOT Compiled objects dispatch directly.
+    def _jit(self, fn):
+        if self._shard is None:
+            return jax.jit(fn)
+        return jax.jit(fn, in_shardings=self._shard,
+                       out_shardings=self._shard)
+
+    def _place(self, x):
+        # AOT executables are strict about input shardings: reshard here
+        return x if self._shard is None else jax.device_put(x, self._shard)
+
     def _aot(self, kind, fn, x):
         key = (kind, x.shape, str(x.dtype))
         exe = self._exe.get(key)
         if exe is None:
-            exe = jax.jit(fn).lower(x).compile()
+            exe = self._jit(fn).lower(x).compile()
             self._exe[key] = exe
-        return exe(x)
+        return exe(self._place(x))
 
     def _encode(self, pcm):
         cfg, nw = self.config, self.num_words
@@ -1286,9 +1319,9 @@ class JaxCodec:
         if exe is None:
             fn = (lambda p, n:
                   _encode_packet_chunks(p, cfg, nw, nums=n)[:2])
-            exe = jax.jit(fn).lower(pcm, nums).compile()
+            exe = self._jit(fn).lower(pcm, nums).compile()
             self._exe[key] = exe
-        return exe(pcm, nums)
+        return exe(self._place(pcm), self._place(nums))
 
     def _decode(self, words, taps: int = 8):
         cfg = self.config
@@ -1432,10 +1465,47 @@ class JaxCodec:
 _CODEC_CACHE: dict[tuple, JaxCodec] = {}
 
 
-def get_codec(config: AlacConfig, chunk: int = DEFAULT_CHUNK) -> JaxCodec:
-    key = (config, chunk)
+def _default_mesh():
+    """Frames mesh over the visible devices — multi-chip as config, not
+    code (SURVEY.md §5): every public entry point (CLI, convert, batch,
+    reader) auto-shards when >1 device is present.  ``ALACJAX_DEVICES``
+    bounds the mesh (``1`` opts out); read lazily so the CLI's --devices
+    flag and test harnesses can set it before first codec construction."""
+    import os
+    env = os.environ.get("ALACJAX_DEVICES")
+    devs = jax.devices()
+    n = len(devs)
+    if env is not None:
+        n = max(1, min(n, int(env)))
+    if n <= 1:
+        return None
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(devs[:n]), (FRAMES_AXIS,))
+
+
+def get_codec(config: AlacConfig, chunk: int = DEFAULT_CHUNK,
+              devices=None) -> JaxCodec:
+    """Shared-cache codec lookup.  ``devices``: None = auto (all visible
+    devices, bounded by ALACJAX_DEVICES), an int device count, or an
+    explicit device sequence."""
+    if devices is None:
+        mesh = _default_mesh()
+    elif isinstance(devices, int):
+        if devices <= 1:
+            mesh = None
+        else:
+            from jax.sharding import Mesh
+            mesh = Mesh(np.asarray(jax.devices()[:devices]), (FRAMES_AXIS,))
+    else:
+        from jax.sharding import Mesh
+        devices = list(devices)
+        mesh = (Mesh(np.asarray(devices), (FRAMES_AXIS,))
+                if len(devices) > 1 else None)
+    mesh_key = (None if mesh is None
+                else tuple(d.id for d in mesh.devices.flat))
+    key = (config, chunk, mesh_key)
     if key not in _CODEC_CACHE:
-        _CODEC_CACHE[key] = JaxCodec(config, chunk)
+        _CODEC_CACHE[key] = JaxCodec(config, chunk, mesh=mesh)
     return _CODEC_CACHE[key]
 
 

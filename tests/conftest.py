@@ -26,6 +26,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 os.environ.setdefault("ALACJAX_SCAN_UNROLL", "1")
 os.environ.setdefault("ALACJAX_DECODE_G", "2")
 
+# get_codec auto-shards over all visible devices (codec._default_mesh),
+# which on the simulated 8-device mesh would silently turn EVERY device
+# test into an 8-way SPMD compile.  The general tiers pin 1 device; the
+# sharding tests opt in explicitly (get_codec(devices=...), ShardedCodec,
+# CLI --devices).
+os.environ.setdefault("ALACJAX_DEVICES", "1")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
