@@ -31,8 +31,6 @@ import jax.numpy as jnp
 from ..types import kALACMaxCoefs
 from .jaxutils import I32, sign_extend, sign_of_int
 
-_W = kALACMaxCoefs + 1  # lags: in[j-1] .. in[j-17]
-
 # Scan unroll factor: 4 is the measured sweet spot on TPU; the CPU test
 # tier sets ALACJAX_SCAN_UNROLL=1 because XLA CPU compile time scales
 # with the unrolled body size (results are bit-identical either way).
@@ -78,8 +76,7 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
     denhalf = jnp.left_shift(jnp.int32(1), denshift - 1).astype(I32)
 
     zero = jnp.zeros((B,), dtype=I32)
-    lags0 = (zero,) * _W
-    coef_cols0 = tuple(coefs0.astype(I32)[:, k] for k in range(kALACMaxCoefs))
+    coefs0_i = coefs0.astype(I32)
 
     # per-lane na: the tap loop and the ``top`` lag select only need to
     # reach the static *maximum* order present (callers pass na_max; the
@@ -88,13 +85,22 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
     # branch).  Bit-identical: lanes never index past their own na.
     nk = na if static_na else (na_max if na_max is not None
                                else kALACMaxCoefs)
+    # carry sized to the order bound, not the format maximum: nk+1 lag
+    # registers + nk coefficient columns instead of 17+16.  The scan
+    # carry round-trips HBM once per loop iteration, so for the
+    # production search (nk=8) this cuts the dominant per-step memory
+    # traffic by a third; columns >= nk are never touched by the
+    # adaptation walk and rejoin unchanged after the scan.
+    nw = nk + 1
+    lags0 = (zero,) * nw
+    coef_cols0 = tuple(coefs0_i[:, k] for k in range(nk))
     if cost_params is not None:
         assert not decode
         from . import rice as rice_mod
         mb0_c, pb_c, kb_c, wb_c = cost_params
     S_eff = S if num is None else num.astype(I32)
 
-    nc = _W + kALACMaxCoefs + 1  # core carry slots
+    nc = nw + nk + 1  # core carry slots
 
     def step(carry, inp):
         if cost_params is not None:
@@ -103,7 +109,7 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
                 prev_out = carry[nc + 6]
                 rice2, total2 = carry[nc + 7:nc + 12], carry[nc + 12]
             carry = carry[:nc]
-        lags, coefs, t = carry[:_W], carry[_W:_W + kALACMaxCoefs], carry[-1]
+        lags, coefs, t = carry[:nw], carry[nw:nw + nk], carry[-1]
         x_t = inp
 
         if static_na:
@@ -137,9 +143,7 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
         sg = sign_of_int(err)
         del0 = err
         new_coefs = list(coefs)
-        for k in range(kALACMaxCoefs - 1, -1, -1):
-            if k >= nk:
-                continue
+        for k in range(nk - 1, -1, -1):
             going = jnp.where(sg > 0, del0 > 0, del0 < 0)
             active = adapt & (sg != 0) & going
             if not static_na:
@@ -182,7 +186,11 @@ def _scan_general(x_sb, coefs0, na, chanbits, denshift, *, decode: bool,
             carry0 = carry0 + (zero,) + rice_mod._init_state(B, mb0_c) + (
                 jnp.zeros((B,), dtype=I32),)
     carry_out, out_sb = jax.lax.scan(step, carry0, x_sb, unroll=_unroll())
-    coefs_out = jnp.stack(carry_out[_W:_W + kALACMaxCoefs], axis=1)
+    # columns >= nk never adapt: rejoin the untouched originals so the
+    # returned table keeps the full (B, 16) persistent-bank shape
+    cols = list(carry_out[nw:nw + nk])
+    cols += [coefs0_i[:, k] for k in range(nk, coefs0_i.shape[1])]
+    coefs_out = jnp.stack(cols, axis=1)
     if cost_params is None:
         return out_sb, coefs_out
 

@@ -38,14 +38,33 @@ from .predict import _unroll  # lazy env read; see ops/predict.py
 
 
 def _divmod_capped(n, m):
-    """(min(n // m, 9), n mod m for quotients < 9).
+    """(min(n // m, 9), n mod m — exact for quotients <= 8).
 
-    Uses the hardware u32 divide: an A/B against a 9-step conditional-
-    subtraction chain showed the chain's serial dependency costs more on
-    the VPU than the divide (end-to-end bench 637 -> 430 frames/s).
+    TPU has no integer divide (XLA emulates ``u32 //`` with a long
+    serial sequence), and quotients only matter up to the escape
+    threshold 9 (MAX_PREFIX_32), so the capped quotient is a PARALLEL
+    threshold count: div = sum_j [n >= j*m], j = 1..9 — a depth-4 tree
+    of adds/compares instead of the emulated divide.  div >= 9 lanes
+    escape and never read the remainder.  m <= 2^kb - 1 = 16383
+    (types.KB0 caps k for both codeword machines), so 9*m cannot wrap
+    u32.  History: a 9-step conditional-SUBTRACTION chain lost to the
+    divide because it was serial (end-to-end 637 -> 430 f/s); this
+    formulation has no serial dependency.
     """
-    div = n // m
-    return jnp.minimum(div, jnp.uint32(MAX_PREFIX_32)).astype(I32), n - m * div
+    m2 = m + m
+    m3 = m2 + m
+    m4 = m2 + m2
+    m5 = m4 + m
+    m6 = m4 + m2
+    m7 = m4 + m3
+    m8 = m4 + m4
+    m9 = m8 + m
+    div = ((n >= m).astype(I32) + (n >= m2).astype(I32)
+           + (n >= m3).astype(I32) + (n >= m4).astype(I32)
+           + (n >= m5).astype(I32) + (n >= m6).astype(I32)
+           + (n >= m7).astype(I32) + (n >= m8).astype(I32)
+           + (n >= m9).astype(I32))
+    return div, n - m * div.astype(U32)
 
 
 def _dyn_code_32(bit_size: int, m, k, n):

@@ -10,8 +10,8 @@ import numpy as np
 
 def main():
     import jax, os
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     import jax.numpy as jnp
     from alacjax.ops import bitpack
