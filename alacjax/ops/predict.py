@@ -286,6 +286,27 @@ def pc_block_cost(x, coefs0, numactive: int, chanbits: int, denshift: int,
     return res, cost
 
 
+def _cost_kernel_ok(x, numactive, chanbits, denshift) -> bool:
+    """Route to the fused Pallas cost kernel (ops/pallas/cost_pallas.py)
+    on real TPU backends when the shape fits its envelope; the XLA scan
+    stays the fallback (and the CPU test tier's default — interpret-mode
+    parity is tested separately).  ALACJAX_PALLAS_COST forces either
+    way."""
+    env = _os.environ.get("ALACJAX_PALLAS_COST")
+    if env is not None and env != "1":
+        return False
+    if env is None:
+        import jax as _jax
+        if _jax.default_backend() in ("cpu",):
+            return False
+    if not isinstance(chanbits, int) or not isinstance(denshift, int):
+        return False
+    if isinstance(numactive, int) and numactive in (0, 31):
+        return False
+    from .pallas.cost_pallas import S_CHUNK
+    return x.shape[1] % S_CHUNK == 0
+
+
 def pc_block_cost_coefs(x, coefs0, numactive: int, chanbits: int,
                         denshift: int, mb0: int, pb: int, kb: int, wb: int,
                         num=None):
@@ -293,6 +314,17 @@ def pc_block_cost_coefs(x, coefs0, numactive: int, chanbits: int,
     (needed by the persistent-bank stream encoder, ALACEncoder.cpp's
     mCoefsU/V members surviving across packets)."""
     from . import pallas as pallas_cfg
+    if (not pallas_cfg.enabled()
+            and _cost_kernel_ok(x, numactive, chanbits, denshift)):
+        from .pallas.cost_pallas import pc_block_cost2_pallas
+        if coefs0 is None:
+            coefs0 = jnp.zeros((x.shape[0], kALACMaxCoefs), dtype=I32)
+        res, c1, _, coefs = pc_block_cost2_pallas(
+            x.astype(I32), coefs0, numactive, chanbits, denshift,
+            mb0, pb, kb, wb, na_max=(numactive if isinstance(numactive, int)
+                                     else kALACMaxCoefs),
+            num=num, dual=False)
+        return res, c1, coefs
     if pallas_cfg.enabled():
         from . import rice as rice_mod
         res, coefs = pc_block(x, coefs0, numactive, chanbits, denshift)
@@ -347,6 +379,16 @@ def pc_block_cost2(x, coefs0, numactive, chanbits: int, denshift: int,
                                         num=num),
                 rice_mod.rice_cost(wrap_diff(res, chanbits), chanbits,
                                    mb0, pb, kb, wb, num=num), coefs)
+    if _cost_kernel_ok(x, numactive, chanbits, denshift):
+        from .pallas.cost_pallas import pc_block_cost2_pallas
+        if coefs0 is None:
+            coefs0 = jnp.zeros((x.shape[0], kALACMaxCoefs), dtype=I32)
+        nm = (numactive if static_na
+              else (na_max if na_max is not None else kALACMaxCoefs))
+        return pc_block_cost2_pallas(
+            x, coefs0, numactive if static_na else numactive.astype(I32),
+            chanbits, denshift, mb0, pb, kb, wb, na_max=nm, num=num,
+            dual=True)
     na = numactive if static_na else numactive.astype(I32)
     out_sb, coefs, cost, cost2 = _scan_general(
         x.T, coefs0, na, chanbits, denshift, decode=False,

@@ -39,3 +39,56 @@ def test_pallas_multi_chunk_state_carry(rng):
     r_s, c_s = predict.pc_block(jnp.asarray(x), jnp.asarray(c0), 8, 17, 9)
     np.testing.assert_array_equal(np.asarray(r_p), np.asarray(r_s))
     np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_s))
+
+
+# ---------------------------------------------------------------------------
+# fused predict + dual-Rice-cost kernel (ops/pallas/cost_pallas.py) — the
+# r4 production encode-search path on TPU backends
+# ---------------------------------------------------------------------------
+def _cost_args():
+    mb0, pb, kb = 10, 40, 14
+    return mb0, pb, kb, (1 << kb) - 1
+
+
+@pytest.mark.parametrize("mode", ["static8", "perlane", "partial"])
+def test_pallas_cost2_matches_scan(rng, mode):
+    from alacjax.ops.pallas.cost_pallas import (
+        S_CHUNK as SC, pc_block_cost2_pallas)
+    L, S = 256, 2 * SC          # pads to LANE_TILE internally
+    mb0, pb, kb, wb = _cost_args()
+    x = rng.integers(-30000, 30000, (L, S)).astype(np.int32)
+    x[:8] = 0                   # pure zero-run lanes
+    x[8:16, ::2] = 0            # alternating zero runs
+    c0 = np.zeros((L, 16), np.int32)
+    na = 8 if mode == "static8" else jnp.asarray(
+        rng.choice([4, 8], L).astype(np.int32))
+    num = None
+    if mode == "partial":
+        num = jnp.asarray(rng.integers(1, S + 1, L).astype(np.int32))
+        for i in range(L):
+            x[i, int(num[i]):] = 0
+    ref = predict.pc_block_cost2(jnp.asarray(x), jnp.asarray(c0), na, 17, 9,
+                                 mb0, pb, kb, wb, na_max=8, num=num)
+    got = pc_block_cost2_pallas(jnp.asarray(x), jnp.asarray(c0), na, 17, 9,
+                                mb0, pb, kb, wb, na_max=8, num=num,
+                                interpret=True)
+    for name, a, b in zip(("res", "cost1", "cost2", "coefs"), ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_pallas_cost_single_matches_scan(rng):
+    """dual=False (the mixres-trial route through pc_block_cost_coefs)."""
+    from alacjax.ops.pallas.cost_pallas import (
+        S_CHUNK as SC, pc_block_cost2_pallas)
+    L, S = 128, SC
+    mb0, pb, kb, wb = _cost_args()
+    x = rng.integers(-60000, 60000, (L, S)).astype(np.int32)
+    c0 = np.zeros((L, 16), np.int32)
+    r_res, r_c, r_k = predict.pc_block_cost_coefs(
+        jnp.asarray(x), jnp.asarray(c0), 8, 18, 9, mb0, pb, kb, wb)
+    g_res, g_c, _, g_k = pc_block_cost2_pallas(
+        jnp.asarray(x), jnp.asarray(c0), 8, 18, 9, mb0, pb, kb, wb,
+        na_max=8, dual=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r_res), np.asarray(g_res))
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(g_c))
+    np.testing.assert_array_equal(np.asarray(r_k), np.asarray(g_k))
