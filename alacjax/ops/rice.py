@@ -281,6 +281,22 @@ def rice_encode_words(res, bit_size, mb0: int, pb, kb: int, wb: int,
     position of the stream, tail_val (B,) u32, tail_key (B,) u32).
     """
     B, S = res.shape
+    if not emit_flush:
+        # route to the Mosaic emission kernel on TPU backends (the XLA
+        # while body fragments into ~24 fusions/iteration; the kernel
+        # runs the whole loop as one launch) — same gating rule as the
+        # cost kernel (ops/predict._cost_kernel_ok)
+        from .pallas.cost_pallas import S_CHUNK as _SC
+        env = _os.environ.get("ALACJAX_PALLAS_COST")
+        use = env == "1" if env is not None else None
+        if use is None:
+            import jax as _jax
+            use = _jax.default_backend() not in ("cpu",)
+        if use and S % _SC == 0:
+            from .pallas.emit_pallas import rice_encode_words_pallas
+            return rice_encode_words_pallas(
+                res, bit_size, mb0, pb, kb, wb, start_bits,
+                bit_size_cap=bit_size_cap, num=num)
     S_eff = S if num is None else num
     start_bits = jnp.asarray(start_bits, I32)
     base_word = start_bits >> 5

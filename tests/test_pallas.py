@@ -92,3 +92,36 @@ def test_pallas_cost_single_matches_scan(rng):
     np.testing.assert_array_equal(np.asarray(r_res), np.asarray(g_res))
     np.testing.assert_array_equal(np.asarray(r_c), np.asarray(g_c))
     np.testing.assert_array_equal(np.asarray(r_k), np.asarray(g_k))
+
+
+@pytest.mark.parametrize("mode", ["static", "perlane", "partial"])
+def test_pallas_emit_matches_scan(rng, mode):
+    """Emission kernel (ops/pallas/emit_pallas.py) vs rice_encode_words
+    with emit_flush=False — the production emission mode."""
+    from alacjax.ops import rice
+    from alacjax.ops.pallas.cost_pallas import S_CHUNK as SC
+    from alacjax.ops.pallas.emit_pallas import rice_encode_words_pallas
+    L, S = 256, SC
+    mb0, pb, kb = 10, 40, 14
+    wb = (1 << kb) - 1
+    x = rng.integers(-40000, 40000, (L, S)).astype(np.int32)
+    x[:8] = 0
+    x[8:16, ::3] = 0
+    x[16:24] = rng.integers(-2, 3, (8, S))      # zero-run heavy
+    start = jnp.asarray(rng.integers(0, 2000, L).astype(np.int32))
+    num, bs, kw = None, 17, {}
+    if mode == "perlane":
+        bs = jnp.asarray(rng.choice([16, 17], L).astype(np.int32))
+        kw = dict(bit_size_cap=17)
+    if mode == "partial":
+        num = jnp.asarray(rng.integers(1, S + 1, L).astype(np.int32))
+        for i in range(L):
+            x[i, int(num[i]):] = 0
+    ref = rice.rice_encode_words(jnp.asarray(x), bs, mb0, pb, kb, wb, start,
+                                 emit_flush=False, num=num, **kw)
+    got = rice_encode_words_pallas(jnp.asarray(x), bs, mb0, pb, kb, wb,
+                                   start, num=num, interpret=True, **kw)
+    for name, a, b in zip(("words", "keys", "end", "tailv", "tailk"),
+                          ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
