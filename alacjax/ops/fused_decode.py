@@ -395,8 +395,14 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
                 for ks in range(1, r_rows + 1):
                     w = jnp.where(kshift == ks, ext[i + 8 * ks], w)
                 blk2.append(w)
+            # ONE stacked (G, B) output per step instead of G separate
+            # (B,) ys: each y is a dynamic-update-slice in the while
+            # body, and every DUS ends an XLA fusion — G=8 separate
+            # outputs cost ~7 extra kernel launches per iteration in a
+            # body whose runtime is launch-bound (46 fusions/iter
+            # measured on the optimized HLO, r4)
             return (st + (blk_base + 8 * kshift,) + tuple(blk2) + pred_st,
-                    tuple(outs))
+                    jnp.stack(outs, axis=0))
         return step
 
     rice_st0 = (start_bits.astype(I32), jnp.full((B,), mb0, dtype=U32),
@@ -423,8 +429,8 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
                                                "1")))
             final, outs = jax.lax.scan(make_step(nk), carry0, None,
                                        length=n_steps, unroll=unroll)
-            # outs: G-tuple of (n_steps, B) -> (B, n_steps*G) sample order
-            out_tg = jnp.stack(outs, axis=1).reshape(n_steps * G, B)
+            # outs: (n_steps, G, B) -> (B, n_steps*G) sample order
+            out_tg = outs.reshape(n_steps * G, B)
             return out_tg.T[:, :S], final[0], final[5]
         return go
 

@@ -45,8 +45,10 @@ def _sign(x):
     return jnp.sign(x).astype(I32)
 
 
-def _sext(x, bits: int):
-    sh = 32 - bits
+def _sext(x, bits):
+    """Sign-extend the low ``bits`` bits; ``bits`` may be a static int or
+    a per-lane (8, 128) i32 tile (Mosaic shifts take vector amounts)."""
+    sh = 32 - bits if isinstance(bits, int) else (32 - bits)
     return jnp.right_shift(jnp.left_shift(x, sh), sh)
 
 
@@ -153,9 +155,9 @@ def _cost_step_lens(x, t, state, *, S_eff, bit_size: int, pb: int, kb: int,
             run_bits + len1 + len2)
 
 
-def _kernel(x_ref, c0_ref, na_ref, num_ref, out_ref, cost1_ref, cost2_ref,
-            cout_ref, state_ref, *, na_static, na_max, chanbits, denshift,
-            mb0, pb, kb, wb, S, n_chunks, dual, has_num):
+def _kernel(x_ref, c0_ref, na_ref, num_ref, cb_ref, out_ref, cost1_ref,
+            cost2_ref, cout_ref, state_ref, *, na_static, na_max, chanbits,
+            denshift, mb0, pb, kb, wb, S, n_chunks, dual, has_num):
     """One (lane-tile, sample-chunk) grid step of the fused scan.
 
     VMEM state rows (each (8, 128) i32):
@@ -174,6 +176,7 @@ def _kernel(x_ref, c0_ref, na_ref, num_ref, out_ref, cost1_ref, cost2_ref,
     na = None if na_static is not None else na_ref[0, :, :]
     num = num_ref[0, :, :] if has_num else None
     S_eff = S if num is None else num
+    chanbits = chanbits if chanbits is not None else cb_ref[0, :, :]
 
     @pl.when(sc == 0)
     def _():
@@ -322,15 +325,16 @@ def _kernel(x_ref, c0_ref, na_ref, num_ref, out_ref, cost1_ref, cost2_ref,
     jax.jit,
     static_argnames=("na_static", "na_max", "chanbits", "denshift", "mb0",
                      "pb", "kb", "wb", "dual", "has_num", "interpret"))
-def _cost2_pallas_call(x, coefs0, na_arr, num_arr, *, na_static, na_max,
-                       chanbits, denshift, mb0, pb, kb, wb, dual, has_num,
-                       interpret=False):
+def _cost2_pallas_call(x, coefs0, na_arr, num_arr, cb_arr, *, na_static,
+                       na_max, chanbits, denshift, mb0, pb, kb, wb, dual,
+                       has_num, interpret=False):
     L, S = x.shape
     G = L // 128
     xt = x.astype(I32).T.reshape(S, G, 128)
     ct = coefs0.astype(I32).T.reshape(kALACMaxCoefs, 1, G, 128)
     na_t = na_arr.astype(I32).reshape(1, G, 128)
     num_t = num_arr.astype(I32).reshape(1, G, 128)
+    cb_t = cb_arr.astype(I32).reshape(1, G, 128)
     n_chunks = S // S_CHUNK
 
     kern = functools.partial(
@@ -346,6 +350,7 @@ def _cost2_pallas_call(x, coefs0, na_arr, num_arr, *, na_static, na_max,
             pl.BlockSpec((S_CHUNK, lane_rows, 128), lambda i, s: (s, i, 0)),
             pl.BlockSpec((kALACMaxCoefs, 1, lane_rows, 128),
                          lambda i, s: (0, 0, i, 0)),
+            pl.BlockSpec((1, lane_rows, 128), lambda i, s: (0, i, 0)),
             pl.BlockSpec((1, lane_rows, 128), lambda i, s: (0, i, 0)),
             pl.BlockSpec((1, lane_rows, 128), lambda i, s: (0, i, 0)),
         ],
@@ -366,13 +371,13 @@ def _cost2_pallas_call(x, coefs0, na_arr, num_arr, *, na_static, na_max,
             pltpu.VMEM((2 * na_max + 14, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(xt, ct, na_t, num_t)
+    )(xt, ct, na_t, num_t, cb_t)
     res = out.reshape(S, L).T
     return (res, c1.reshape(L), c2.reshape(L),
             cout.reshape(kALACMaxCoefs, L).T)
 
 
-def pc_block_cost2_pallas(x, coefs0, na, chanbits: int, denshift: int,
+def pc_block_cost2_pallas(x, coefs0, na, chanbits, denshift: int,
                           mb0: int, pb: int, kb: int, wb: int,
                           na_max: int, num=None, dual: bool = True,
                           interpret: bool = False):
@@ -381,34 +386,34 @@ def pc_block_cost2_pallas(x, coefs0, na, chanbits: int, denshift: int,
 
     Lanes are padded to LANE_TILE inside (padding lanes cost nothing
     real and are sliced off); S must be a multiple of S_CHUNK and
-    chanbits/denshift static — callers fall back to the XLA scan
-    otherwise."""
+    denshift static — callers fall back to the XLA scan otherwise.
+    ``chanbits`` may be per-lane (stacked SCE/CPE channels, e.g. 5.1)."""
     L, S = x.shape
     if S % S_CHUNK:
         raise ValueError(f"S={S} needs %{S_CHUNK}==0")
     pad = (-L) % LANE_TILE
     na_static = na if isinstance(na, int) else None
+    cb_static = chanbits if isinstance(chanbits, int) else None
     x_p = x if not pad else jnp.concatenate(
         [x, jnp.zeros((pad, S), x.dtype)], axis=0)
     c0_p = coefs0 if not pad else jnp.concatenate(
         [coefs0, jnp.zeros((pad, coefs0.shape[1]), coefs0.dtype)], axis=0)
-    if na_static is None:
-        na_arr = na.astype(I32)
+
+    def lane_vec(v, pad_val):
+        v = jnp.asarray(v, I32)
         if pad:
-            na_arr = jnp.concatenate(
-                [na_arr, jnp.full((pad,), na_max, I32)], axis=0)
-    else:
-        na_arr = jnp.zeros((L + pad,), I32)  # unused by the kernel
-    if num is None:
-        num_t = jnp.zeros((L + pad,), I32)
-    else:
-        num_t = jnp.asarray(num, I32)
-        if pad:
-            num_t = jnp.concatenate([num_t, jnp.full((pad,), S, I32)],
-                                    axis=0)
+            v = jnp.concatenate([v, jnp.full((pad,), pad_val, I32)], axis=0)
+        return v
+
+    na_arr = (jnp.zeros((L + pad,), I32) if na_static is not None
+              else lane_vec(na, na_max))
+    cb_arr = (jnp.zeros((L + pad,), I32) if cb_static is not None
+              else lane_vec(chanbits, 17))
+    num_t = (jnp.zeros((L + pad,), I32) if num is None
+             else lane_vec(num, S))
     res, c1, c2, cout = _cost2_pallas_call(
-        x_p, c0_p, na_arr, num_t,
-        na_static=na_static, na_max=na_max, chanbits=chanbits,
+        x_p, c0_p, na_arr, num_t, cb_arr,
+        na_static=na_static, na_max=na_max, chanbits=cb_static,
         denshift=denshift, mb0=mb0, pb=pb, kb=kb, wb=wb, dual=dual,
         has_num=num is not None, interpret=interpret)
     if pad:

@@ -299,8 +299,8 @@ def _cost_kernel_ok(x, numactive, chanbits, denshift) -> bool:
         import jax as _jax
         if _jax.default_backend() in ("cpu",):
             return False
-    if not isinstance(chanbits, int) or not isinstance(denshift, int):
-        return False
+    if not isinstance(denshift, int):
+        return False   # chanbits may be per-lane (the kernel takes a tile)
     if isinstance(numactive, int) and numactive in (0, 31):
         return False
     from .pallas.cost_pallas import S_CHUNK

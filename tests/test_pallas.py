@@ -125,3 +125,23 @@ def test_pallas_emit_matches_scan(rng, mode):
                           ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_pallas_cost2_perlane_chanbits(rng):
+    """Per-lane chanbits (stacked SCE/CPE channels — the 5.1 search)."""
+    from alacjax.ops.pallas.cost_pallas import (
+        S_CHUNK as SC, pc_block_cost2_pallas)
+    L, S = 192, SC
+    mb0, pb, kb, wb = _cost_args()
+    x = rng.integers(-2**22, 2**22, (L, S)).astype(np.int32)
+    x[:6] = 0
+    na = jnp.asarray(rng.choice([4, 8], L).astype(np.int32))
+    cb = jnp.asarray(rng.choice([16, 17, 21], L).astype(np.int32))
+    c0 = jnp.zeros((L, 16), jnp.int32)
+    ref = predict.pc_block_cost2(jnp.asarray(x), c0, na, cb, 9,
+                                 mb0, pb, kb, wb, na_max=8)
+    got = pc_block_cost2_pallas(jnp.asarray(x), c0, na, cb, 9,
+                                mb0, pb, kb, wb, na_max=8, interpret=True)
+    for name, a, b in zip(("res", "cost1", "cost2", "coefs"), ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
