@@ -204,6 +204,19 @@ def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
     return st2, res, active
 
 
+def _decode_kernel_ok() -> bool:
+    """Route to the K-step Mosaic decode kernel (pallas/decode_pallas.py)
+    on real TPU backends; the XLA scan stays the fallback (and the CPU
+    test tier's default — interpret-mode parity is tested separately).
+    ALACJAX_PALLAS_DECODE forces either way."""
+    import os
+    env = os.environ.get("ALACJAX_PALLAS_DECODE")
+    if env is not None:
+        return env == "1"
+    import jax as _jax
+    return _jax.default_backend() not in ("cpu",)
+
+
 def _make_cache(words, B):
     """(B, W) word image -> row-fetch helper + padded row view."""
     W = words.shape[1]
@@ -440,8 +453,15 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
     # ladder (taps 8 -> 16 -> 30) re-runs them on a wider program.
     if taps is not None:
         nk = min(taps, _MAX_TAPS)
-        samples, end_bits, err = run(nk)()
         big = (na > nk) & (na != 31)
+        if not raw and _decode_kernel_ok():
+            from .pallas.decode_pallas import decode_channel_pallas
+            samples, end_bits, err = decode_channel_pallas(
+                words, start_bits, S, chanbits, mb0, pb, kb, wb, coefs0,
+                mode, numactive, denshift, cb_max=cb_max, taps=nk,
+                num=num, G=G)
+            return samples, end_bits, err | big
+        samples, end_bits, err = run(nk)()
         return samples, end_bits, err | big
     small = jnp.all((na <= 8) | (na == 31))
     samples, end_bits, err = jax.lax.cond(

@@ -145,3 +145,105 @@ def test_pallas_cost2_perlane_chanbits(rng):
     for name, a, b in zip(("res", "cost1", "cost2", "coefs"), ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# fused decode kernel (ops/pallas/decode_pallas.py) — K-step Mosaic blocks
+# inside the outer scan; must be bit-identical to fused_decode.decode_channel
+# including end_bits and the drift/underrun error flags
+# ---------------------------------------------------------------------------
+def _decode_streams(rng, orders, chanbits_per_lane, S, mode_nz):
+    """Oracle-encoded packets for per-lane (order, chanbits) lanes."""
+    import os
+    from alacjax.bitbuffer import BitBuffer
+    from alacjax.oracle import ag as oag, dp as odp
+    from alacjax.ops import bitpack
+    B = len(orders)
+    packets, coefs0, xs = [], [], []
+    for b, (na, cb) in enumerate(zip(orders, chanbits_per_lane)):
+        full = 1 << (cb - 2)
+        kind = b % 4
+        if kind == 0:
+            x = np.clip((np.sin(np.arange(S) * 0.07) * (full // 2)),
+                        -full, full - 1).astype(np.int64)
+        elif kind == 1:
+            x = rng.integers(-full, full, S)
+        elif kind == 2:
+            x = np.zeros(S, dtype=np.int64)
+            x[::173] = rng.integers(-300, 300, len(x[::173]))
+        else:
+            x = rng.integers(-3, 4, S)
+        c = odp.init_coefs(9)
+        coefs0.append(np.asarray(c, dtype=np.int32).copy())
+        s1 = odp.pc_block(x, c, na, cb, 9)
+        if mode_nz:
+            s1 = odp.pc_block(s1, odp.init_coefs(9), 31, cb, 9)
+        bb = BitBuffer(byte_size=16 * S)
+        oag.dyn_comp(oag.set_standard_ag_params(S, S), bb, s1, S, cb)
+        packets.append(bb.to_bytes())
+        xs.append(x)
+    W = max(len(p) for p in packets) // 4 + 3
+    wimg = jnp.asarray(bitpack.bytes_to_words(packets, W))
+    return wimg, np.stack(coefs0), np.stack(xs)
+
+
+@pytest.mark.parametrize("mode_nz", [False, True])
+def test_pallas_decode_matches_scan(rng, mode_nz):
+    import os
+    from alacjax.ops import fused_decode
+    from alacjax.ops.pallas.decode_pallas import decode_channel_pallas
+    from alacjax.types import KB0, MB0, PB0
+    wb = (1 << KB0) - 1
+    S = 600
+    orders = [0, 4, 8, 31, 8, 4, 0, 8]
+    cb = [17] * len(orders)
+    wimg, coefs0, xs = _decode_streams(rng, orders, cb, S, mode_nz)
+    B = len(orders)
+    zero = jnp.zeros((B,), jnp.int32)
+    na_v = jnp.asarray(np.array(orders, np.int32))
+    mode = jnp.full((B,), 1 if mode_nz else 0, jnp.int32)
+    den = jnp.full((B,), 9, jnp.int32)
+    pb = jnp.full((B,), PB0, jnp.int32)
+    args = (wimg, zero, S, 17, MB0, pb, KB0, wb,
+            jnp.asarray(coefs0), mode, na_v, den)
+    G = int(os.environ.get("ALACJAX_DECODE_G", "8"))
+    ref = fused_decode.decode_channel(*args, taps=8)
+    got = decode_channel_pallas(*args, cb_max=17, taps=8, G=G,
+                                interpret=True)
+    for name, a, b in zip(("samples", "end_bits", "err"), ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    # the streams decode losslessly too (orders > taps flag err upstream)
+    keep = [b for b, na in enumerate(orders) if na <= 8 or na == 31]
+    np.testing.assert_array_equal(np.asarray(got[0])[keep],
+                                  xs[keep] if mode_nz is None else xs[keep])
+
+
+def test_pallas_decode_perlane_chanbits_partial(rng):
+    """Per-lane chanbits (stacked 5.1 elements) + partial tails."""
+    import os
+    from alacjax.ops import fused_decode
+    from alacjax.ops.pallas.decode_pallas import decode_channel_pallas
+    from alacjax.types import KB0, MB0, PB0
+    wb = (1 << KB0) - 1
+    S = 512
+    orders = [4, 8, 8, 4, 0, 31]
+    cb = [16, 17, 21, 17, 16, 17]
+    wimg, coefs0, _ = _decode_streams(rng, orders, cb, S, False)
+    B = len(orders)
+    zero = jnp.zeros((B,), jnp.int32)
+    num = jnp.asarray(np.array([S, S // 2 + 1, S, 7, S - 1, S], np.int32))
+    # re-encode honoring num: simpler — decode only num samples of the
+    # full-S streams; the scan must stop each lane at its num
+    args = (wimg, zero, S, jnp.asarray(np.array(cb, np.int32)), MB0,
+            jnp.full((B,), PB0, jnp.int32), KB0, wb, jnp.asarray(coefs0),
+            zero, jnp.asarray(np.array(orders, np.int32)),
+            jnp.full((B,), 9, jnp.int32))
+    G = int(os.environ.get("ALACJAX_DECODE_G", "8"))
+    ref = fused_decode.decode_channel(*args, chanbits_max=21, taps=8,
+                                      num=num)
+    got = decode_channel_pallas(*args, cb_max=21, taps=8, G=G, num=num,
+                                interpret=True)
+    for name, a, b in zip(("samples", "end_bits", "err"), ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
