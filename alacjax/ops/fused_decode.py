@@ -205,16 +205,20 @@ def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
 
 
 def _decode_kernel_ok() -> bool:
-    """Route to the K-step Mosaic decode kernel (pallas/decode_pallas.py)
-    on real TPU backends; the XLA scan stays the fallback (and the CPU
-    test tier's default — interpret-mode parity is tested separately).
-    ALACJAX_PALLAS_DECODE forces either way."""
+    """Opt-in routing to the K-step Mosaic decode kernel
+    (pallas/decode_pallas.py) via ALACJAX_PALLAS_DECODE=1.
+
+    Measured OFF by default (tools/prof_decode_kernel.py codec, B=4096,
+    1x TPU v5e, 2026-08-20): kernel decode 80.3 ms vs XLA scan 33.8 ms
+    — the amortized-K launch structure loses 2.4x to the plain scan.
+    The per-lane VMEM window shift (cache_words+lookahead selects per
+    step) and the ~100-select fetch tree cost more than the ~46 XLA
+    launches they delete; the XLA scan's fusions also improved under
+    this round's smaller step body.  Parked at parity like
+    predict_pallas.py: bit-identical, tested (interpret on CPU,
+    compiled on TPU), re-evaluate if Mosaic grows a cross-lane gather."""
     import os
-    env = os.environ.get("ALACJAX_PALLAS_DECODE")
-    if env is not None:
-        return env == "1"
-    import jax as _jax
-    return _jax.default_backend() not in ("cpu",)
+    return os.environ.get("ALACJAX_PALLAS_DECODE") == "1"
 
 
 def _make_cache(words, B):
