@@ -216,7 +216,11 @@ def _decode_kernel_ok() -> bool:
     launches they delete; the XLA scan's fusions also improved under
     this round's smaller step body.  Parked at parity like
     predict_pallas.py: bit-identical, tested (interpret on CPU,
-    compiled on TPU), re-evaluate if Mosaic grows a cross-lane gather."""
+    compiled on TPU), re-evaluate if Mosaic grows a cross-lane gather.
+
+    Only the literal ``1`` opts in; any other value (``true``, ``0``,
+    unset) leaves the default XLA scan — there is no force-off spelling
+    because off IS the default."""
     import os
     return os.environ.get("ALACJAX_PALLAS_DECODE") == "1"
 

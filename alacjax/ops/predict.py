@@ -252,13 +252,13 @@ def _run(x, coefs0, numactive, chanbits, denshift, decode: bool):
 def pc_block(x, coefs0, numactive, chanbits, denshift=9):
     """Batched forward prediction: (B, S) samples -> (residuals, coefs_out).
 
-    With ALACJAX_PALLAS=1 and a static order, eligible shapes route to the
+    With ALACJAX_PALLAS_PREDICT_LEGACY=1 and a static order, eligible shapes route to the
     hand-written Pallas kernel (ops/pallas/predict_pallas.py) — measured at
     parity with this scan on v5e (both are latency-bound on the serial
     per-sample dependency chain), kept as the tuning vehicle.
     """
     from . import pallas as pallas_cfg
-    if (pallas_cfg.enabled() and isinstance(numactive, int)
+    if (pallas_cfg.predict_legacy_enabled() and isinstance(numactive, int)
             and 0 < numactive <= kALACMaxCoefs
             and isinstance(denshift, int) and isinstance(chanbits, int)):
         from .pallas.predict_pallas import LANE_TILE, S_CHUNK, pc_block_pallas
@@ -314,7 +314,7 @@ def pc_block_cost_coefs(x, coefs0, numactive: int, chanbits: int,
     (needed by the persistent-bank stream encoder, ALACEncoder.cpp's
     mCoefsU/V members surviving across packets)."""
     from . import pallas as pallas_cfg
-    if (not pallas_cfg.enabled()
+    if (not pallas_cfg.predict_legacy_enabled()
             and _cost_kernel_ok(x, numactive, chanbits, denshift)):
         from .pallas.cost_pallas import pc_block_cost2_pallas
         if coefs0 is None:
@@ -325,7 +325,7 @@ def pc_block_cost_coefs(x, coefs0, numactive: int, chanbits: int,
                                      else kALACMaxCoefs),
             num=num, dual=False)
         return res, c1, coefs
-    if pallas_cfg.enabled():
+    if pallas_cfg.predict_legacy_enabled():
         from . import rice as rice_mod
         res, coefs = pc_block(x, coefs0, numactive, chanbits, denshift)
         return res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb,
@@ -372,7 +372,7 @@ def pc_block_cost2(x, coefs0, numactive, chanbits: int, denshift: int,
     from . import pallas as pallas_cfg
     x = x.astype(I32)
     static_na = isinstance(numactive, int)
-    if pallas_cfg.enabled() or (static_na and numactive in (0, 31)):
+    if pallas_cfg.predict_legacy_enabled() or (static_na and numactive in (0, 31)):
         from . import rice as rice_mod
         res, coefs = pc_block(x, coefs0, numactive, chanbits, denshift)
         return (res, rice_mod.rice_cost(res, chanbits, mb0, pb, kb, wb,

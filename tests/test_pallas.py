@@ -215,8 +215,7 @@ def test_pallas_decode_matches_scan(rng, mode_nz):
                                       err_msg=name)
     # the streams decode losslessly too (orders > taps flag err upstream)
     keep = [b for b, na in enumerate(orders) if na <= 8 or na == 31]
-    np.testing.assert_array_equal(np.asarray(got[0])[keep],
-                                  xs[keep] if mode_nz is None else xs[keep])
+    np.testing.assert_array_equal(np.asarray(got[0])[keep], xs[keep])
 
 
 def test_pallas_decode_perlane_chanbits_partial(rng):
