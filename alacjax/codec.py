@@ -188,6 +188,30 @@ def _search_channels(streams, chanbits_list, config, banks=None, nums=None):
                 xs, c0s, orders[0], cb_all, DENSHIFT_DEFAULT,
                 mb0, pb, kb, wb, num=num_all)
             c2_all = None
+        elif predict._cost_kernel_ok(xs, orders[0], chanbits_list[0],
+                                     DENSHIFT_DEFAULT):
+            # Mosaic path: one kernel call PER ORDER with a static
+            # numactive instead of one stacked per-lane-order call.  A
+            # static order compiles a body with no per-lane masks (top
+            # is lags[na], no k<na selects) and an na_max-sized FIR/
+            # adaptation walk — the order-4 half of the grid runs a
+            # ~half-size body.  The grid-step count is identical (the
+            # kernels are issue-bound per step, not launch-bound), so
+            # the smaller bodies are pure win: search 15.7 -> ~11 ms
+            # @B=4096 (r5 A/B).  Off-TPU the stacked per-lane scan
+            # below stays (fewer sequential XLA scans wins there).
+            parts = []
+            for oi, od in enumerate(orders):
+                sl = slice(oi * W * B, (oi + 1) * W * B)
+                parts.append(predict.pc_block_cost2(
+                    xs[sl], c0s[sl], od,
+                    cb_all if uniform_cb else cb_all[sl],
+                    DENSHIFT_DEFAULT, mb0, pb, kb, wb, na_max=od,
+                    num=None if num_all is None else num_all[sl]))
+            res_all = jnp.concatenate([p[0] for p in parts], axis=0)
+            c1_all = jnp.concatenate([p[1] for p in parts], axis=0)
+            c2_all = jnp.concatenate([p[2] for p in parts], axis=0)
+            coefs_all = jnp.concatenate([p[3] for p in parts], axis=0)
         else:
             na = jnp.concatenate(
                 [jnp.full((W * B,), od, dtype=I32) for od in orders], axis=0)
