@@ -122,14 +122,22 @@ def _mixres_select(cpe_pairs, chanbits, config, nums=None):
     """
     B = cpe_pairs[0][0].shape[0]
     mb0, pb, kb, wb = _rice_params_static(config)
+    # the side channel V = L - R is IDENTICAL for every mixres != 0
+    # (matrix_enc.c mixes only U by mixres), so price it ONCE: 7 candidate
+    # streams per CPE (L, R, U1..U4, V) instead of 10 — the trial scan is
+    # lane-count-bound, so this is a ~30% cut at unchanged selections
+    # (same per-candidate costs feed the same first-min argmin)
+    n_cand = (MAX_RES + 1) + 2
     cand = []
     for l_hi, r_hi in cpe_pairs:
         ld = l_hi[:, ::MIXRES_DILATE]
         rd = r_hi[:, ::MIXRES_DILATE]
-        for mr in range(MAX_RES + 1):
-            u, v = matrix.mix(ld, rd, DEFAULT_MIX_BITS, mr)
-            cand.extend((u, v))
-    st = jnp.concatenate(cand, axis=0)          # (n_cpe*10*B, nd)
+        cand.extend((ld.astype(I32), rd.astype(I32)))      # mixres 0: L, R
+        for mr in range(1, MAX_RES + 1):
+            u, _ = matrix.mix(ld, rd, DEFAULT_MIX_BITS, mr)
+            cand.append(u)
+        cand.append(ld.astype(I32) - rd.astype(I32))       # shared V
+    st = jnp.concatenate(cand, axis=0)          # (n_cpe*7*B, nd)
     nd_lane = (None if nums is None else
                jnp.tile((nums + MIXRES_DILATE - 1) // MIXRES_DILATE,
                         len(cand)))
@@ -137,9 +145,15 @@ def _mixres_select(cpe_pairs, chanbits, config, nums=None):
         _, c = predict.pc_block_cost(
             st, _init_coefs_batched(st.shape[0]), FAST_ORDER,
             chanbits, DENSHIFT_DEFAULT, mb0, pb, kb, wb, num=nd_lane)
-    tot = c.reshape(len(cpe_pairs), MAX_RES + 1, 2, B).sum(axis=2)
-    return [jnp.argmin(tot[e], axis=0).astype(I32)
-            for e in range(len(cpe_pairs))]
+    ce = c.reshape(len(cpe_pairs), n_cand, B)
+    outs = []
+    for e in range(len(cpe_pairs)):
+        tot = jnp.stack(
+            [ce[e, 0] + ce[e, 1]]                           # mixres 0
+            + [ce[e, 1 + mr] + ce[e, n_cand - 1]            # U_mr + V
+               for mr in range(1, MAX_RES + 1)], axis=0)
+        outs.append(jnp.argmin(tot, axis=0).astype(I32))
+    return outs
 
 
 def _search_channels(streams, chanbits_list, config, banks=None, nums=None):

@@ -104,9 +104,42 @@ def _probe_backend_child() -> None:
     jax.devices()
 
 
+def measure_host_serdes(B: int, num_words: int) -> float:
+    """Host serdes rate (words -> bytes -> words), measured BEFORE the
+    device backend exists: once the accelerator client is up, its
+    tunnel/poll threads contend with pure-python loops on a small host
+    (measured 17x degradation on this 1-core box — VERDICT r4 item 4a's
+    5,135 f/s was that contention, not the serializer).  Shape-accurate
+    synthetic data: the cost is bytes copied + per-frame slicing, not
+    content."""
+    from alacjax.ops import bitpack as _bp  # imports jax, no backend init
+    rng = np.random.default_rng(0)
+    wh = rng.integers(0, 2 ** 32, (B, num_words), dtype=np.uint32)
+    bh = np.minimum((np.full(B, 0.67 * 32 * num_words)).astype(np.int64),
+                    32 * num_words).astype(np.int32)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        pk = _bp.words_to_bytes(wh, bh)
+        _bp.bytes_to_words(pk, num_words)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return B / best
+
+
 def main() -> int:
-    require_backend()
+    import os
+    # ALACJAX_BENCH_PLATFORM=cpu: run the bench pipeline on the host CPU
+    # (with XLA_FLAGS=--xla_force_host_platform_device_count=N for a
+    # simulated mesh).  Needed because this box's sitecustomize pins
+    # JAX_PLATFORMS=axon before user code runs — only the config update
+    # below overrides it (see tests/conftest.py).
+    force_platform = os.environ.get("ALACJAX_BENCH_PLATFORM")
+    if not force_platform:
+        require_backend()
     import jax
+    if force_platform:
+        jax.config.update("jax_platforms", force_platform)
 
     # Persistent compilation cache: TPU compiles of the full pipeline are
     # slow (and the remote-compile service occasionally stalls); caching
@@ -127,8 +160,20 @@ def main() -> int:
     from alacjax.types import AlacConfig
 
     S = 4096
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    # --devices N (or ALACJAX_BENCH_DEVICES): run the SAME measurement
+    # through an N-device frames mesh (VERDICT r4 item 8).  N=1 builds a
+    # real 1-device Mesh (not the meshless fast path), so the number
+    # proves the sharding machinery itself adds no overhead; on real
+    # multi-chip hardware the scaling number is this flag.
+    n_devices = int(os.environ.get("ALACJAX_BENCH_DEVICES", "0"))
+    argv = list(sys.argv[1:])
+    if "--devices" in argv:
+        i = argv.index("--devices")
+        n_devices = int(argv[i + 1])
+        del argv[i:i + 2]
+    argv = [a for a in argv if not a.startswith("--")]
+    B = int(argv[0]) if len(argv) > 0 else 4096
+    iters = int(argv[1]) if len(argv) > 1 else 6
 
     # ALACJAX_BENCH_SEARCH=exhaustive prices the full device candidate
     # grid (A/B knob; the headline stays the standard reference dialect)
@@ -136,7 +181,23 @@ def main() -> int:
                         sample_rate=44100,
                         search=os.environ.get("ALACJAX_BENCH_SEARCH",
                                               "standard"))
-    codec = get_codec(config, chunk=B)
+    # serdes must be measured while the host is quiet — before the
+    # device client's threads exist (see measure_host_serdes)
+    serdes_fps = measure_host_serdes(
+        B, (config.max_escape_packet_bytes(S) + 3) // 4 + 2)
+    if n_devices >= 1:
+        from jax.sharding import Mesh
+        from alacjax.codec import FRAMES_AXIS, JaxCodec
+        devs = jax.devices()
+        if n_devices > len(devs):
+            raise SystemExit(f"--devices {n_devices}: only {len(devs)} "
+                             "visible (use JAX_PLATFORMS=cpu XLA_FLAGS="
+                             "--xla_force_host_platform_device_count=N "
+                             "for the CPU-sim mesh)")
+        mesh = Mesh(np.asarray(devs[:n_devices]), (FRAMES_AXIS,))
+        codec = JaxCodec(config, chunk=B, mesh=mesh)
+    else:
+        codec = get_codec(config, chunk=B)
 
     pcm = make_music(B, S)
     x = jnp.asarray(pcm)
@@ -190,31 +251,33 @@ def main() -> int:
     e2e_dt = time.time() - t0
     e2e_fps = B * e2e_iters / e2e_dt
 
-    # host serdes alone (no transfers): words -> bytes -> words.
-    # Best-of-3: on this 1-core box the live jax backend's tunnel/poll
-    # threads contend with the pure-python loop, so single timings can
-    # read several times slower than the serializer's real rate
-    # (measured 31k f/s combined in a jax-free process at B=4096).
-    from alacjax.ops import bitpack as _bp
-    wh = np.asarray(words)
+    # (host serdes was measured pre-backend — see measure_host_serdes)
     bh = np.asarray(bits)
-    serdes_dt = None
-    for _ in range(3):
-        t0 = time.time()
-        pk = _bp.words_to_bytes(wh, bh)
-        img = _bp.bytes_to_words(pk, wh.shape[1])
-        dt_i = time.time() - t0
-        serdes_dt = dt_i if serdes_dt is None else min(serdes_dt, dt_i)
-    serdes_fps = B / serdes_dt
 
-    # tunnel/PCIe transfer rate, device->host (the e2e bottleneck here).
-    # XOR on device forces a FRESH buffer — re-fetching `words` would be
-    # served from its already-materialized host copy.
+    # link transfer rates (the e2e bottleneck on this tunnel-attached
+    # box).  XOR on device forces a FRESH buffer — re-fetching `words`
+    # would be served from its already-materialized host copy.
     fresh = (words ^ jnp.uint32(1))
     fresh.block_until_ready()
     t0 = time.time()
     np.asarray(fresh)
     d2h_mbps = fresh.nbytes / 1e6 / (time.time() - t0)
+    t0 = time.time()
+    jnp.asarray(pcm ^ 1).block_until_ready()
+    h2d_mbps = pcm.nbytes / 1e6 / (time.time() - t0)
+
+    # transfer-adjusted end-to-end bound (VERDICT r4 item 4b): device
+    # compute + the batch's real host<->device traffic at the MEASURED
+    # link rate, labeled with the link.  On this box the link is the
+    # axon tunnel (tens of MB/s); on a production PCIe/ICI host the same
+    # formula with its measured rate recovers ~the device rate.  The raw
+    # tunnel-bound loop measurement stays as end_to_end_frames_per_sec
+    # for provenance.
+    packet_bytes = float(np.sum((bh + 7) // 8))
+    down = pcm.nbytes + packet_bytes      # PCM in, packets back in
+    up = packet_bytes + pcm.nbytes        # packets out, decoded PCM out
+    xfer_s = down / (h2d_mbps * 1e6) + up / (d2h_mbps * 1e6)
+    e2e_adj_fps = B / (dt / iters + xfer_s)
 
     baseline_fps, baseline_src = measure_native_baseline(pcm, config)
     comp_ratio = float(np.sum((np.asarray(bits) + 7) // 8)) / pcm.nbytes * 2
@@ -233,8 +296,15 @@ def main() -> int:
             "decode_compile_s": round(dec_compile, 1),
             "end_to_end_frames_per_sec": round(e2e_fps, 1),
             "end_to_end_fraction": round(e2e_fps / fps, 3),
+            "e2e_transfer_adjusted_frames_per_sec": round(e2e_adj_fps, 1),
+            "e2e_link": "axon tunnel (dev box); substitute a production "
+                        "link's measured rate for its bound",
             "host_serdes_frames_per_sec": round(serdes_fps, 1),
+            "host_serdes_note": "measured pre-backend on a quiet host "
+                                "(shape-accurate synthetic batch)",
             "d2h_MBps": round(d2h_mbps, 1),
+            "h2d_MBps": round(h2d_mbps, 1),
+            "mesh_devices": n_devices if n_devices >= 1 else None,
             "device": str(jax.devices()[0]),
             "baseline_frames_per_sec": round(baseline_fps, 1),
             "baseline_note": baseline_src,
