@@ -107,7 +107,7 @@ def _cost_step_lens(x, t, state, *, S_eff, bit_size: int, pb: int, kb: int,
     run_end_nonzero = in_run & nonzero & valid
     run_len_new = run_len + jnp.uint32(1)
     cap = in_run & ~nonzero & valid & (run_len_new >= jnp.uint32(65535))
-    flush = in_run & ~valid
+    flush = in_run & (not valid if isinstance(valid, bool) else ~valid)
     emit_run = run_end_nonzero | cap | flush
     nz = jnp.where(cap, run_len_new, run_len)
     # Mosaic lacks arith.maxui: express max(run_mz, 1) as a select

@@ -130,7 +130,7 @@ def _emit_kernel(x_ref, start_ref, bs_ref, num_ref, w_ref, k_ref, end_ref,
         run_end_nonzero = in_run & nonzero & valid
         run_len_new = run_len + jnp.uint32(1)
         cap_r = in_run & ~nonzero & valid & (run_len_new >= jnp.uint32(65535))
-        flush = in_run & ~valid
+        flush = in_run & (not valid if isinstance(valid, bool) else ~valid)
         emit_run = run_end_nonzero | cap_r | flush
         nz = jnp.where(cap_r, run_len_new, run_len)
         run_val, run_bits = _dyn_code_16(run_mz, run_kz, nz)

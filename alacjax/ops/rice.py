@@ -121,7 +121,7 @@ def _encode_step_tokens(x, t, state, *, S, bit_size, pb, kb, wb):
     run_end_nonzero = in_run & nonzero & valid
     run_len_new = run_len + 1
     cap = in_run & ~nonzero & valid & (run_len_new >= 65535)
-    flush = in_run & ~valid
+    flush = in_run & (not valid if isinstance(valid, bool) else ~valid)
     emit_run = run_end_nonzero | cap | flush
     nz = jnp.where(cap, run_len_new, run_len).astype(U32)
     run_val, run_bits = _dyn_code_16(run_mz, run_kz, nz)
