@@ -1072,22 +1072,40 @@ def _unescape_window(words, pos_esc, depth: int, nch: int, S: int):
 
 
 def _stacked_decode(n_chan_total: int, stop_at) -> bool:
-    """Whether decode runs the cursor+stacked two-pass (VERDICT r4 item
-    1).  auto (default): stack when >= 3 channel scans would otherwise
-    chain — the 2-scan stereo case measured FASTER unstacked (r4: 1
-    cursor + 1 stacked scan lost to 2 fused scans at 2ch), while 5.1's
-    6-scan chain is exactly the latency the cursor pass removes.
-    ALACJAX_DECODE_STACKED=1/0 forces either way (A/B knob).  The
-    stop_at profiling truncations keep the chained program."""
+    """Whether decode runs the cursor+stacked two-pass: a cheap
+    Rice-cursor scan per channel breaks the cross-channel chain, then
+    ONE stacked fused scan reconstructs every channel.
+
+    Measured OFF by default at EVERY layout (1x TPU v5e, 2026-08-21,
+    B=1024 16-bit 5.1): stacked 6,009 f/s (dec 7,187) vs chained
+    10,182 f/s (dec 14,148) — the 5 cursor scans still pay the full
+    window-fetch + cache-refill machinery per sample (only the FIR walk
+    is saved), and the 6B-lane stacked scan's wider carry costs more
+    per step, so the two-pass loses ~1.9x even where the chain is
+    longest; 2ch measured the same way in r4.  What DID win for
+    multichannel is doubling the substep count (G=16) of the chained
+    scans: 11,654 f/s (+14%) — see _decode_g.  ALACJAX_DECODE_STACKED=1
+    opts in (A/B knob; bit-identical, kept tested like the parked
+    Mosaic decode kernel).  The stop_at profiling truncations keep the
+    chained program."""
     if stop_at is not None:
         return False
     import os
-    v = os.environ.get("ALACJAX_DECODE_STACKED", "auto")
-    if v == "1":
-        return n_chan_total >= 2
-    if v == "0":
-        return False
-    return n_chan_total >= 3
+    return os.environ.get("ALACJAX_DECODE_STACKED") == "1"
+
+
+def _decode_g(n_chan_total: int) -> int | None:
+    """Per-layout default for the decode scans' substeps-per-step (G).
+
+    Stereo/mono keep G=8 (the r4 sweet spot: G=16's bigger step body
+    splits into proportionally more fusions).  Multichannel layouts
+    (>= 3 chained scans) default to G=16 — measured +14% at 5.1/B=1024
+    (10,182 -> 11,654 f/s; decode 14,148 -> 17,078): with the per-step
+    fixed cost (refill + launch) paid once per G samples across 6
+    serial scans, halving the step count beats the body growth.
+    ALACJAX_DECODE_G overrides everywhere (tests pin G=2 for CPU
+    compile time)."""
+    return 16 if n_chan_total >= 3 else None
 
 
 def decode_frames_device(words, config: AlacConfig, num_samples: int,
@@ -1104,16 +1122,15 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
     program (JaxCodec.decode_frames_ex) — so EVERY legal order decodes
     at device speed while the common program stays small.
 
-    Multichannel layouts (>= 3 channel scans) decode in TWO passes
-    (_stacked_decode): pass A parses headers and advances a cheap Rice
-    CURSOR scan per channel (channel c+1's stream starts where channel
-    c's ends — the only cross-channel dependency; the cursor replays
-    only the length arithmetic, skipping the FIR/adaptation chain),
-    then pass B reconstructs ALL channels of ALL elements in ONE
-    stacked fused scan over (n_channels*B) lanes.  The reference
-    decodes channels strictly serially (codec/ALACDecoder.cpp ::
-    Decode per-element loop); stereo keeps the chained program
-    (measured faster at 2 scans).
+    Channels decode as chained fused scans (channel c+1's stream
+    starts where channel c's ends), exactly like the reference's
+    serial element loop (codec/ALACDecoder.cpp :: Decode) but batched
+    across lanes.  Multichannel layouts run the scans at G=16
+    substeps/step (_decode_g, measured +14% at 5.1).  An alternative
+    cursor+stacked two-pass (break the chain with cheap Rice-cursor
+    scans, then ONE stacked fused scan over all channels) measured
+    ~1.9x SLOWER at every layout and is parked opt-in
+    (ALACJAX_DECODE_STACKED=1, see _stacked_decode).
 
     stop_at truncates the program for in-context profiling
     (prof_trunc.py): "params" stops after header/param parsing,
@@ -1248,7 +1265,8 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
                                    esc=esc, chanbits=chanbits):
                         return fused_decode.cursor_scan(
                             words, bitpos, S, chanbits, mb0, pb_lane,
-                            kb, wb, skip=esc, num=num)
+                            kb, wb, skip=esc, num=num,
+                            g=_decode_g(n_chan_total))
                     with jax.named_scope("alacjax.cursor"):
                         end, cerr = jax.lax.cond(
                             all_esc,
@@ -1279,7 +1297,8 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
                 with jax.named_scope("alacjax.fused_decode"):
                     samples, bitpos_n, rerr = fused_decode.decode_channel(
                         words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
-                        coefs, mode, order, den, taps=taps, num=num)
+                        coefs, mode, order, den, taps=taps, num=num,
+                        g=_decode_g(n_chan_total))
                 bitpos = jnp.where(esc, bitpos, bitpos_n)
                 rerr_acc = rerr_acc | (~esc & rerr)
                 outs.append(samples)
@@ -1372,7 +1391,7 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
                     words_rep, cat("start"), S, cb_arg, mb0, cat("pb"),
                     kb, wb, cat("coefs"), cat("mode"), cat("order"),
                     cat("den"), chanbits_max=cb_max, taps=taps,
-                    num=num_rep)
+                    num=num_rep, g=_decode_g(n_chan_total))
             return samples, rerr
 
         samples_all, rerr_all = jax.lax.cond(

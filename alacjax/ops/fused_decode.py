@@ -206,7 +206,7 @@ def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
 
 def cursor_scan(words, start_bits, num_samples: int, chanbits,
                 mb0: int, pb, kb: int, wb: int, chanbits_max: int = None,
-                skip=None, num=None):
+                skip=None, num=None, g: int | None = None):
     """Rice-cursor-only pass: advance the bit cursor over a channel's
     residual stream WITHOUT reconstructing samples — the cheap first leg
     of the stacked multichannel decode (VERDICT r4 item 1): channel
@@ -228,7 +228,7 @@ def cursor_scan(words, start_bits, num_samples: int, chanbits,
     cb_max = chanbits_max if chanbits_max is not None else int(chanbits)
     max_adv = MAX_PREFIX_32 + cb_max + MAX_PREFIX_16 + 16
     import os
-    G = max(1, int(os.environ.get("ALACJAX_DECODE_G", "8")))
+    G = max(1, int(os.environ.get("ALACJAX_DECODE_G", str(g or 8))))
     n_steps = -(-S // G)
 
     max_codeword = max(MAX_PREFIX_32 - 1 + 1 + kb, MAX_PREFIX_32 + cb_max)
@@ -327,7 +327,7 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
                    mb0: int, pb, kb: int, wb: int,
                    coefs0, mode, numactive, denshift,
                    chanbits_max: int = None, taps: int | None = None,
-                   raw: bool = False, num=None):
+                   raw: bool = False, num=None, g: int | None = None):
     """Decode + reconstruct one channel: (B, W) words -> (B, S) samples.
 
     start_bits/pb/coefs0/mode/numactive/denshift are per-lane; chanbits
@@ -371,7 +371,7 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
     # it; results are bit-identical at any G (the cache just refills
     # more often), and TPU keeps the G=8 throughput sweet spot.
     import os
-    G = max(1, int(os.environ.get("ALACJAX_DECODE_G", "8")))
+    G = max(1, int(os.environ.get("ALACJAX_DECODE_G", str(g or 8))))
     n_steps = -(-S // G)
 
     # refill geometry: r rows of 8 words prefetched per step must sustain
