@@ -1295,10 +1295,11 @@ def decode_frames_device(words, config: AlacConfig, num_samples: int,
                 # force the fused scan off its order<=8 fast branch
                 order = jnp.where(esc, 0, order)
                 with jax.named_scope("alacjax.fused_decode"):
-                    samples, bitpos_n, rerr = fused_decode.decode_channel(
-                        words, bitpos, S, chanbits, mb0, pb_lane, kb, wb,
-                        coefs, mode, order, den, taps=taps, num=num,
-                        g=_decode_g(n_chan_total))
+                    samples, bitpos_n, rerr = (
+                        fused_decode.decode_channel_cached(
+                            words, bitpos, S, chanbits, mb0, pb_lane,
+                            kb, wb, coefs, mode, order, den, taps=taps,
+                            num=num, g=_decode_g(n_chan_total)))
                 bitpos = jnp.where(esc, bitpos, bitpos_n)
                 rerr_acc = rerr_acc | (~esc & rerr)
                 outs.append(samples)

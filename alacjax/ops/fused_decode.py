@@ -558,3 +558,43 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
         small, run(8), run(kALACMaxCoefs))
     big = (na > kALACMaxCoefs) & (na != 31)
     return samples, end_bits, err | big
+
+
+_decode_channel_jit = jax.jit(
+    decode_channel,
+    static_argnames=("num_samples", "chanbits", "mb0", "kb", "wb",
+                     "chanbits_max", "taps", "raw", "g"))
+
+
+def decode_channel_cached(words, start_bits, num_samples: int, chanbits,
+                          mb0: int, pb, kb: int, wb: int,
+                          coefs0, mode, numactive, denshift,
+                          chanbits_max: int = None,
+                          taps: int | None = None, raw: bool = False,
+                          num=None, g: int | None = None):
+    """decode_channel through a module-level pjit so repeated calls with
+    the same static signature TRACE ONCE.  A stereo decode chains two
+    identical-shape channel scans; tracing each scan body costs ~4 s of
+    Python on a small host (G substeps x ~500 jnp calls each), so the
+    chained path was paying it per channel.  The inner pjit call is
+    inlined by XLA — runtime-identical programs, tested byte-identical.
+    Only usable with a STATIC (int) chanbits; per-lane chanbits (the
+    stacked path) falls through to the direct call.
+
+    Env knobs that alter the traced graph are folded into the static
+    key (G) or bypass the cache entirely (the parked Mosaic kernel,
+    non-default unroll) so in-process flag flips — prof_decode_kernel's
+    A/B loops — can't hit a stale trace."""
+    import os
+    g = max(1, int(os.environ.get("ALACJAX_DECODE_G", str(g or 8))))
+    env_variant = (_decode_kernel_ok()
+                   or os.environ.get("ALACJAX_DECODE_UNROLL", "1") != "1")
+    if not env_variant and isinstance(chanbits, (int, np.integer)):
+        return _decode_channel_jit(
+            words, start_bits, num_samples, int(chanbits), mb0, pb, kb,
+            wb, coefs0, mode, numactive, denshift,
+            chanbits_max=chanbits_max, taps=taps, raw=raw, num=num, g=g)
+    return decode_channel(
+        words, start_bits, num_samples, chanbits, mb0, pb, kb, wb,
+        coefs0, mode, numactive, denshift, chanbits_max=chanbits_max,
+        taps=taps, raw=raw, num=num, g=g)

@@ -151,7 +151,11 @@ def main() -> int:
                      ".jax_cache"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # cache EVERYTHING: the encode program's XLA compile is ~3.5 s,
+        # UNDER the old 5 s threshold, so it was silently re-compiled on
+        # every bench run (the ~6 s encode_compile_s readings were that,
+        # not cache-hit cost)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
