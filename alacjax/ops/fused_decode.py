@@ -86,26 +86,32 @@ def _fetch_window4(blk, rel, max_rel):
 
 
 def _win_read32(ws, off):
-    """32 bits at bit offset ``off`` (0..95) within the 128-bit window."""
+    """32 bits at bit offset ``off`` (0..95) within the 128-bit window.
+
+    (32 - x) & 31 == (32 - x) % 32 for x in [0, 32] — the & spelling is
+    used throughout this module because the shared substep also lowers
+    through Mosaic (ops/pallas/decode_step.py), which has no rem op."""
     idx = off >> 5
     a = jnp.where(idx == 0, ws[0], jnp.where(idx == 1, ws[1], ws[2]))
     b = jnp.where(idx == 0, ws[1], jnp.where(idx == 1, ws[2], ws[3]))
     sh = (off & 31).astype(U32)
     return jnp.where(sh == 0, a,
-                     jnp.left_shift(a, sh) | jnp.right_shift(b, (32 - sh) % 32))
+                     jnp.left_shift(a, sh)
+                     | jnp.right_shift(b, (32 - sh) & jnp.uint32(31)))
 
 
 def _win_bits(ws, off, nbits):
     stream = _win_read32(ws, off)
     nb = jnp.asarray(nbits, dtype=U32)
-    nb_c = jnp.minimum(nb, jnp.uint32(31))
+    nb_c = jnp.where(nb > 31, jnp.uint32(31), nb)   # Mosaic: no minui
     mask = jnp.where(nb >= 32, jnp.uint32(0xFFFFFFFF),
                      jnp.left_shift(_U32_ONE, nb_c) - 1)
-    return jnp.right_shift(stream, (32 - nb) % 32) & mask
+    return jnp.right_shift(stream, (32 - nb) & jnp.uint32(31)) & mask
 
 
 def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
-                  pb_v, kb, wb, zero, rel0, cache_words, num=None):
+                  pb_v, kb, wb, zero, rel0, cache_words, num=None,
+                  clz=clz32):
     """One Rice-cursor substep of the fused decode scan: decodes one residual codeword (or consumes one
     pending zero-run sample) and advances (bitpos, mb, zmode, run_rem,
     c, err).  ``chanbits`` may be per-lane (B,) (stacked channels of
@@ -133,14 +139,14 @@ def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
     woff = (off0 & 31).astype(I32)
 
     m0 = mb >> QBSHIFT
-    k = jnp.minimum(lg3a(m0), kb)
+    k = jnp.minimum(31 - clz(m0 + 3), kb)               # lg3a(m0)
     m = jnp.left_shift(_U32_ONE, k.astype(U32)) - 1
 
     stream = _win_read32(ws, woff)
-    pre = clz32(~stream)
+    pre = clz(~stream)
     esc = pre >= MAX_PREFIX_32
     v = jnp.right_shift(jnp.left_shift(stream, (pre + 1).astype(U32)),
-                        ((32 - k) % 32).astype(U32))
+                        ((32 - k) & 31).astype(U32))
     use_v = (k != 1) & ~esc
     vge2 = v >= 2
     n_plain = (pre.astype(U32) * m
@@ -162,17 +168,18 @@ def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
     trigger = decode_now & ((mb_upd << MMULSHIFT) < QB) & (c1 < n_eff)
 
     # zero-run codeword (speculative; used when trigger)
-    kz = (clz32(mb_upd) - 24
+    kz = (clz(mb_upd) - 24
           + ((mb_upd + jnp.uint32(16)) >> 6).astype(I32))
     mz = (jnp.left_shift(_U32_ONE, kz.astype(U32)) - 1) & jnp.uint32(wb)
     off2 = woff + adv
     stream2 = _win_read32(ws, off2)
-    pre2 = clz32(~stream2)
+    pre2 = clz(~stream2)
     esc2 = pre2 >= MAX_PREFIX_16
     v2 = jnp.right_shift(jnp.left_shift(stream2, (pre2 + 1).astype(U32)),
-                         ((32 - kz) % 32).astype(U32))
+                         ((32 - kz) & 31).astype(U32))
     v2ge2 = v2 >= 2
-    nz_plain = (pre2.astype(U32) * jnp.maximum(mz, _U32_ONE)
+    nz_plain = (pre2.astype(U32)
+                * jnp.where(mz == 0, _U32_ONE, mz)   # Mosaic: no maxui
                 + jnp.where((kz != 1) & v2ge2, v2 - 1, jnp.uint32(0)))
     adv2_plain = pre2 + 1 + jnp.where(kz != 1,
                                       jnp.where(v2ge2, kz, kz - 1), 0)
@@ -202,6 +209,129 @@ def _rice_substep(st, blk, blk_base, g, *, S, chanbits, chanbits_max,
     c2 = jnp.where(active, c1, c)
     st2 = (bitpos2, mb2, zmode2, run_rem2, c2, err)
     return st2, res, active
+
+
+def _substep_core(st, pred_st, blk, blk_base, g, *, nk, S, chanbits,
+                  cb_max, pb_v, kb, wb, rel0, cache_words, num,
+                  na_eff, den, denhalf, mode_nz, is0, is31, r_rows=None,
+                  clz=clz32):
+    """One fused decode substep: Rice codeword decode + inverse
+    predictor (dp_dec.c :: unpc_block + the mode-31 first-difference
+    stage), shape-agnostic elementwise — the SAME function body serves
+    the XLA scan step and the Mosaic step kernel
+    (ops/pallas/decode_step.py), so kernel parity is by construction.
+
+    st = (bitpos i32, mb u32, zmode u32, run_rem u32, c i32, err bool);
+    pred_st = (nk+1 lags, nk coefs, s1_acc, acc31) i32; blk a sequence
+    of cache words (u32)."""
+    c = st[4]
+    lags = pred_st[:nk + 1]
+    coefs = pred_st[nk + 1:nk + 1 + nk]
+    s1_acc, acc31 = pred_st[-2], pred_st[-1]
+    na_k = jnp.minimum(na_eff, nk)
+    zero = jnp.zeros_like(c)
+
+    # ---- rice codeword decode (shared cursor arithmetic) ----
+    st2, res, active = _rice_substep(
+        st, blk, blk_base, g, S=S, chanbits=chanbits,
+        chanbits_max=cb_max, pb_v=pb_v, kb=kb, wb=wb, zero=zero,
+        rel0=rel0, cache_words=cache_words, num=num, clz=clz)
+
+    # ---- fused predictor (dp_dec.c :: unpc_block + mode-31 stage) ----
+    s1_acc2 = jnp.where(active, s1_acc + res, s1_acc)
+    x_t = jnp.where(mode_nz, sign_extend(s1_acc2, chanbits), res)
+
+    top = zero
+    for i in range(nk + 1):
+        top = jnp.where(na_k == i, lags[i], top)
+    in_warm = c <= na_k
+
+    sum1 = denhalf
+    for kk in range(nk):
+        term = coefs[kk] * (lags[kk] - top)
+        sum1 = sum1 + jnp.where(kk < na_k, term, 0)
+    pred_adj = jnp.right_shift(sum1, den)
+    out_gen = sign_extend(x_t + top + pred_adj, chanbits)
+    out_warm = sign_extend(x_t + lags[0], chanbits)
+    out = jnp.where(c == 0, x_t, jnp.where(in_warm, out_warm, out_gen))
+
+    adapt = active & ~in_warm
+    sg = sign_of_int(x_t)                      # residual drives adapt
+    del0 = x_t
+    new_coefs = list(coefs)
+    sg_pos = sg > 0
+    for kk in range(nk - 1, -1, -1):
+        # logical form, not where(bool, bool, bool): Mosaic can't
+        # truncate an i8 select result back to i1
+        going = (sg_pos & (del0 > 0)) | (~sg_pos & (del0 < 0))
+        act_k = adapt & (sg != 0) & going & (kk < na_k)
+        dd = top - lags[kk]
+        sgn = sign_of_int(dd)
+        upd = jnp.where(sg > 0, -sgn, sgn)
+        new_coefs[kk] = sign_extend(
+            coefs[kk] + jnp.where(act_k, upd, 0), 16)
+        mag = sgn * dd
+        term = jnp.where(sg > 0, jnp.right_shift(mag, den),
+                         jnp.right_shift(-mag, den))
+        del0 = del0 - jnp.where(act_k, (na_k - kk) * term, 0)
+
+    # special-mode overlays (mode 0: pass-through; mode 31: cumsum)
+    acc31_2 = jnp.where(active, acc31 + x_t, acc31)
+    out = jnp.where(is0, x_t,
+                    jnp.where(is31, sign_extend(acc31_2, chanbits), out))
+
+    new_lags = tuple(
+        jnp.where(active, v, old)
+        for v, old in zip((out,) + lags[:-1], lags))
+    new_coefs = [jnp.where(active, v, old)
+                 for v, old in zip(new_coefs, coefs)]
+    pred2 = new_lags + tuple(new_coefs) + (s1_acc2, acc31_2)
+    return st2, pred2, out
+
+
+def _shift_cache(st, ext, blk_base, *, rel0, cache_words, r_rows):
+    """Fixed-rate refill bookkeeping shared by the XLA step and the
+    Mosaic step kernel: compute the cache shift from the post-substep
+    cursor, flag drift-budget underruns (only reachable via the
+    adversarial zero-length-run pattern; such lanes re-decode on the
+    host oracle), and shift the extended cache window.
+
+    ext: blk ++ freshly fetched rows (cache_words + 8*r_rows values).
+    Returns (st with err updated, new blk_base, blk2 list)."""
+    rel = (st[0] >> 5) - blk_base
+    kshift = jnp.clip(rel >> 3, 0, r_rows)
+    underrun = (rel - 8 * kshift) > rel0
+    st = st[:5] + (st[5] | underrun,)
+    blk2 = []
+    for i in range(cache_words):
+        w = ext[i]
+        for ks in range(1, r_rows + 1):
+            w = jnp.where(kshift == ks, ext[i + 8 * ks], w)
+        blk2.append(w)
+    return st, blk_base + 8 * kshift, tuple(blk2)
+
+
+def _step_kernel_ok(raw: bool, chanbits, B: int) -> bool:
+    """Route the scan step through the Mosaic step kernel
+    (ops/pallas/decode_step.py) on real TPU backends: the XLA step body
+    compiles to ~19 kLoop fusions per while iteration (launch-bound at
+    ~1.6 us each); the kernel runs the same arithmetic as ONE launch,
+    keeping XLA's per-lane row gather between iterations (gathers are
+    the one thing Mosaic can't do well — the r4 whole-loop kernel died
+    on exactly that, see _decode_kernel_ok).  Static chanbits and
+    128-divisible batches only; ALACJAX_PALLAS_DECODE_STEP forces
+    either way (A/B knob)."""
+    import os
+    env = os.environ.get("ALACJAX_PALLAS_DECODE_STEP")
+    if env is not None:
+        if env != "1":
+            return False
+    else:
+        import jax as _jax
+        if _jax.default_backend() in ("cpu",):
+            return False
+    return (not raw and isinstance(chanbits, (int, np.integer))
+            and B % 128 == 0)
 
 
 def cursor_scan(words, start_bits, num_samples: int, chanbits,
@@ -405,74 +535,53 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
     mode_nz = jnp.asarray(mode, I32) != 0
     is0 = na == 0
     is31 = na == 31
+    par = dict(na_eff=na_eff, den=den, denhalf=denhalf, mode_nz=mode_nz,
+               is0=is0, is31=is31)
+    geom = dict(S=S, chanbits=chanbits, cb_max=cb_max, pb_v=pb_v, kb=kb,
+                wb=wb, rel0=rel0, cache_words=cache_words, r_rows=r_rows,
+                num=num)
+    use_kern = _step_kernel_ok(raw, chanbits, B)
+    if use_kern:
+        def _bc(a):
+            return jnp.broadcast_to(jnp.asarray(a).astype(I32), (B,))
+        par_stack = jnp.stack([
+            _bc(na_eff), _bc(den), _bc(denhalf), _bc(mode_nz),
+            _bc(is0), _bc(is31), _bc(pb_v),
+            _bc(num) if num is not None else jnp.zeros((B,), I32)],
+            axis=0)
 
     def substep(st, pred_st, blk, blk_base, g, nk):
-        c = st[4]
-        lags = pred_st[:nk + 1]
-        coefs = pred_st[nk + 1:nk + 1 + nk]
-        s1_acc, acc31 = pred_st[-2], pred_st[-1]
-        na_k = jnp.minimum(na_eff, nk)
-
-        # ---- rice codeword decode (shared cursor arithmetic) ----
-        st2, res, active = _rice_substep(
-            st, blk, blk_base, g, S=S, chanbits=chanbits,
-            chanbits_max=cb_max, pb_v=pb_v, kb=kb, wb=wb, zero=zero,
-            rel0=rel0, cache_words=cache_words, num=num)
         if raw:
             # residual-only mode (rice.rice_decode): the signed deltas
             # ARE dyn_decomp's output; skip reconstruction entirely
+            zero_l = jnp.zeros_like(st[4])
+            st2, res, _ = _rice_substep(
+                st, blk, blk_base, g, S=S, chanbits=chanbits,
+                chanbits_max=cb_max, pb_v=pb_v, kb=kb, wb=wb,
+                zero=zero_l, rel0=rel0, cache_words=cache_words, num=num)
             return st2, pred_st, res
-
-        # ---- fused predictor (dp_dec.c :: unpc_block + mode-31 stage) ----
-        s1_acc2 = jnp.where(active, s1_acc + res, s1_acc)
-        x_t = jnp.where(mode_nz, sign_extend(s1_acc2, chanbits), res)
-
-        top = zero
-        for i in range(nk + 1):
-            top = jnp.where(na_k == i, lags[i], top)
-        in_warm = c <= na_k
-
-        sum1 = denhalf
-        for kk in range(nk):
-            term = coefs[kk] * (lags[kk] - top)
-            sum1 = sum1 + jnp.where(kk < na_k, term, 0)
-        pred_adj = jnp.right_shift(sum1, den)
-        out_gen = sign_extend(x_t + top + pred_adj, chanbits)
-        out_warm = sign_extend(x_t + lags[0], chanbits)
-        out = jnp.where(c == 0, x_t, jnp.where(in_warm, out_warm, out_gen))
-
-        adapt = active & ~in_warm
-        sg = sign_of_int(x_t)                      # residual drives adapt
-        del0 = x_t
-        new_coefs = list(coefs)
-        for kk in range(nk - 1, -1, -1):
-            going = jnp.where(sg > 0, del0 > 0, del0 < 0)
-            act_k = adapt & (sg != 0) & going & (kk < na_k)
-            dd = top - lags[kk]
-            sgn = sign_of_int(dd)
-            upd = jnp.where(sg > 0, -sgn, sgn)
-            new_coefs[kk] = sign_extend(
-                coefs[kk] + jnp.where(act_k, upd, 0), 16)
-            mag = sgn * dd
-            term = jnp.where(sg > 0, jnp.right_shift(mag, den),
-                             jnp.right_shift(-mag, den))
-            del0 = del0 - jnp.where(act_k, (na_k - kk) * term, 0)
-
-        # special-mode overlays (mode 0: pass-through; mode 31: cumsum)
-        acc31_2 = jnp.where(active, acc31 + x_t, acc31)
-        out = jnp.where(is0, x_t,
-                        jnp.where(is31, sign_extend(acc31_2, chanbits), out))
-
-        new_lags = tuple(
-            jnp.where(active, v, old)
-            for v, old in zip((out,) + lags[:-1], lags))
-        new_coefs = [jnp.where(active, v, old)
-                     for v, old in zip(new_coefs, coefs)]
-        pred2 = new_lags + tuple(new_coefs) + (s1_acc2, acc31_2)
-        return st2, pred2, out
+        return _substep_core(st, pred_st, blk, blk_base, g, nk=nk,
+                             **geom, **par)
 
     def make_step(nk):
         def step(carry, _):
+            if use_kern:
+                # hybrid: XLA does the per-lane row gather (its
+                # strength), ONE Mosaic call runs the G substeps + FIR
+                # + cache shift (ops/pallas/decode_step.py) — the
+                # launch-bound ~19-fusion body becomes ~3 launches/iter
+                from .pallas.decode_step import decode_step_pallas
+                st6, base1, blkS, predS = carry
+                ext = ()
+                for j in range(r_rows):
+                    ext = ext + fetch_row((base1[0] >> 3) + n_rows + j)
+                extS = jnp.stack([e.astype(I32) for e in ext], axis=0)
+                st6, base1, blkS, predS, y = decode_step_pallas(
+                    st6, base1, blkS, extS, predS, par_stack, nk=nk,
+                    G=G, S=S, chanbits=chanbits, cb_max=cb_max, kb=kb,
+                    wb=wb, rel0=rel0, cache_words=cache_words,
+                    r_rows=r_rows, has_num=num is not None)
+                return (st6, base1, blkS, predS), y
             st = carry[:_N_RICE - 1]
             blk_base = carry[_N_RICE - 1]
             blk = carry[_N_RICE: _N_RICE + cache_words]
@@ -481,30 +590,19 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
             for g in range(G):
                 st, pred_st, out = substep(st, pred_st, blk, blk_base, g, nk)
                 outs.append(out)
-            # fixed-rate refill: fetch r_rows new rows, shift by at most
-            # r_rows; lanes whose cursor drifted past the rel0 budget
-            # (only possible via the adversarial zero-length-run pattern)
-            # get the error flag and re-decode on the host oracle
-            rel = (st[0] >> 5) - blk_base
-            kshift = jnp.clip(rel >> 3, 0, r_rows)
-            underrun = (rel - 8 * kshift) > rel0
-            st = st[:5] + (st[5] | underrun,)
             ext = blk
             for j in range(r_rows):
                 ext = ext + fetch_row((blk_base >> 3) + n_rows + j)
-            blk2 = []
-            for i in range(cache_words):
-                w = ext[i]
-                for ks in range(1, r_rows + 1):
-                    w = jnp.where(kshift == ks, ext[i + 8 * ks], w)
-                blk2.append(w)
+            st, blk_base, blk2 = _shift_cache(
+                st, ext, blk_base, rel0=rel0, cache_words=cache_words,
+                r_rows=r_rows)
             # ONE stacked (G, B) output per step instead of G separate
             # (B,) ys: each y is a dynamic-update-slice in the while
             # body, and every DUS ends an XLA fusion — G=8 separate
             # outputs cost ~7 extra kernel launches per iteration in a
             # body whose runtime is launch-bound (46 fusions/iter
             # measured on the optimized HLO, r4)
-            return (st + (blk_base + 8 * kshift,) + tuple(blk2) + pred_st,
+            return (st + (blk_base,) + blk2 + pred_st,
                     jnp.stack(outs, axis=0))
         return step
 
@@ -523,7 +621,20 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
                 coefs0_arr[:, k] if k < coefs0_arr.shape[1] else zero
                 for k in range(nk))
             pred_st0 = (zero,) * (nk + 1) + coef_cols0 + (zero, zero)
-            carry0 = rice_st0 + blk0 + pred_st0
+            if use_kern:
+                # hybrid-kernel carry: row-stacked i32 arrays (the
+                # Mosaic step consumes/produces whole stacks — no
+                # per-iteration jnp.stack of 60+ small arrays)
+                st6 = jnp.stack([
+                    rice_st0[0], rice_st0[1].astype(I32),
+                    rice_st0[2].astype(I32), rice_st0[3].astype(I32),
+                    rice_st0[4], rice_st0[5].astype(I32)], axis=0)
+                carry0 = (st6, rice_st0[6][None, :],
+                          jnp.stack([w.astype(I32) for w in blk0],
+                                    axis=0),
+                          jnp.stack(pred_st0, axis=0))
+            else:
+                carry0 = rice_st0 + blk0 + pred_st0
             # ALACJAX_DECODE_UNROLL: scan unroll factor (bit-identical;
             # A/B lever for TPU compile time vs dispatch overhead —
             # VERDICT r02 item 6).  G already amortizes per-step fixed
@@ -534,6 +645,8 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
                                        length=n_steps, unroll=unroll)
             # outs: (n_steps, G, B) -> (B, n_steps*G) sample order
             out_tg = outs.reshape(n_steps * G, B)
+            if use_kern:
+                return out_tg.T[:, :S], final[0][0], final[0][5] != 0
             return out_tg.T[:, :S], final[0], final[5]
         return go
 

@@ -144,8 +144,19 @@ def _emit_kernel(x_ref, start_ref, bs_ref, num_ref, w_ref, k_ref, end_ref,
         absx = jnp.abs(x).astype(U32)
         n = (absx * 2 - (x < 0).astype(U32) - zmode).astype(U32)
         esc, val1, len1 = _dyn_code_32(bit_size, m, k, n)
+        # merged escape token: prefix (9 x 1-bits) + raw chanbits payload
+        # in ONE append — chanbits <= 21 at every depth (bit_depth -
+        # 8*bytes_shifted + 1), so 9 + 21 <= 30 bits always fits a
+        # single word append.  Saves the third token machine per sample
+        # (same bitstream: the two fields are emitted back-to-back
+        # either way; the XLA fallback keeps its 3-token form).
+        bs_u = jnp.asarray(bit_size, U32)
+        val1 = jnp.where(
+            esc,
+            jnp.left_shift(jnp.uint32((1 << MAX_PREFIX_32) - 1), bs_u) | n,
+            val1)
+        len1 = jnp.where(esc, MAX_PREFIX_32 + bit_size, len1)
         len1 = jnp.where(code_now, len1, 0)
-        len2 = jnp.where(code_now & esc, bit_size, 0)
 
         pb_v = jnp.uint32(pb)
         mb_upd = (pb_v * (n + zmode) + mb
@@ -163,8 +174,8 @@ def _emit_kernel(x_ref, start_ref, bs_ref, num_ref, w_ref, k_ref, end_ref,
         in_run2 = (continuing | trigger).astype(I32)
         run_len2 = jnp.where(continuing, run_len_new, jnp.uint32(0))
         return ((mb2, in_run2, run_len2, run_kz2, run_mz2),
-                (run_val, val1, n),
-                (run_bits, len1, len2))
+                (run_val, val1),
+                (run_bits, len1))
 
     def emit_row(i, x, t, carry):
         st, acc, fill, wcount = carry[:5], carry[5], carry[6], carry[7]

@@ -246,3 +246,34 @@ def test_pallas_decode_perlane_chanbits_partial(rng):
     for name, a, b in zip(("samples", "end_bits", "err"), ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_step_kernel_matches_xla_step(rng, monkeypatch):
+    """Hybrid step kernel (pallas/decode_step.py, interpret mode) vs the
+    pure-XLA scan step: identical samples/end/err.  The kernel calls the
+    SAME _substep_core/_shift_cache the XLA step uses, so this guards
+    the routing + ref plumbing (stack/unstack, i32<->u32 boundaries)."""
+    import os
+    from alacjax.ops import fused_decode
+    from alacjax.types import KB0, MB0, PB0
+    wb = (1 << KB0) - 1
+    S = 600
+    # 128 lanes (the kernel's minimum batch granularity), mixed content
+    orders = ([0, 4, 8, 31] * 32)
+    cb = [17] * len(orders)
+    wimg, coefs0, _ = _decode_streams(rng, orders, cb, S, False)
+    B = len(orders)
+    zero = jnp.zeros((B,), jnp.int32)
+    num = jnp.asarray(
+        np.where(np.arange(B) % 7 == 3, S // 3, S).astype(np.int32))
+    args = (wimg, zero, S, 17, MB0, jnp.full((B,), PB0, jnp.int32), KB0,
+            wb, jnp.asarray(coefs0), zero,
+            jnp.asarray(np.array(orders, np.int32)),
+            jnp.full((B,), 9, jnp.int32))
+    monkeypatch.setenv("ALACJAX_PALLAS_DECODE_STEP", "0")
+    ref = fused_decode.decode_channel(*args, taps=8, num=num)
+    monkeypatch.setenv("ALACJAX_PALLAS_DECODE_STEP", "1")
+    got = fused_decode.decode_channel(*args, taps=8, num=num)
+    for name, a, b in zip(("samples", "end_bits", "err"), ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)

@@ -170,3 +170,32 @@ def test_compiled_decode_kernel_matches_scan(rng):
     for name, a, b in zip(("samples", "end_bits", "err"), ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_compiled_step_kernel_matches_xla_step(rng, monkeypatch):
+    """Hybrid step kernel COMPILED by Mosaic vs the pure-XLA scan step."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from test_pallas import _decode_streams
+    from alacjax.ops import fused_decode
+    from alacjax.types import KB0, MB0, PB0
+    wb = (1 << KB0) - 1
+    S = 600
+    orders = ([0, 4, 8, 31] * 32)
+    cb = [17] * len(orders)
+    wimg, coefs0, _ = _decode_streams(rng, orders, cb, S, False)
+    B = len(orders)
+    zero = jnp.zeros((B,), jnp.int32)
+    args = (wimg, zero, S, 17, MB0, jnp.full((B,), PB0, jnp.int32), KB0,
+            wb, jnp.asarray(coefs0), zero,
+            jnp.asarray(np.array(orders, np.int32)),
+            jnp.full((B,), 9, jnp.int32))
+    monkeypatch.setenv("ALACJAX_PALLAS_DECODE_STEP", "0")
+    ref = fused_decode.decode_channel(*args, taps=8)
+    monkeypatch.setenv("ALACJAX_PALLAS_DECODE_STEP", "1")
+    got = fused_decode.decode_channel(*args, taps=8)
+    for name, a, b in zip(("samples", "end_bits", "err"), ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
