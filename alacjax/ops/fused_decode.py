@@ -541,6 +541,14 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
                 wb=wb, rel0=rel0, cache_words=cache_words, r_rows=r_rows,
                 num=num)
     use_kern = _step_kernel_ok(raw, chanbits, B)
+    # steps per kernel launch (A/B knob; bit-identical at any value).
+    # Measured at B=4096 stereo: K=2 +1.2% decode, K=4 +1.4% — the
+    # launch amortization saturates immediately (the serial kernel
+    # compute is the floor), while the traced step body scales with K
+    # and pushed the warm first-call past the 5 s bar (5.9 s at K=2 vs
+    # 4.4 s at K=1).  Default stays 1.
+    K_launch = (max(1, int(os.environ.get("ALACJAX_DECODE_KSTEPS", "1")))
+                if use_kern else 1)
     if use_kern:
         def _bc(a):
             return jnp.broadcast_to(jnp.asarray(a).astype(I32), (B,))
@@ -567,20 +575,24 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
         def step(carry, _):
             if use_kern:
                 # hybrid: XLA does the per-lane row gather (its
-                # strength), ONE Mosaic call runs the G substeps + FIR
-                # + cache shift (ops/pallas/decode_step.py) — the
-                # launch-bound ~19-fusion body becomes ~3 launches/iter
+                # strength), ONE Mosaic call runs K steps of G substeps
+                # + FIR + cache shift (ops/pallas/decode_step.py) — the
+                # launch-bound ~19-fusion body becomes ~3 launches per
+                # K iterations.  The K-step prefetch is just the next
+                # K*r_rows CONSECUTIVE rows (the needed row index
+                # advances by the cache shift, <= r_rows/step).
                 from .pallas.decode_step import decode_step_pallas
                 st6, base1, blkS, predS = carry
                 ext = ()
-                for j in range(r_rows):
+                for j in range(K_launch * r_rows):
                     ext = ext + fetch_row((base1[0] >> 3) + n_rows + j)
                 extS = jnp.stack([e.astype(I32) for e in ext], axis=0)
                 st6, base1, blkS, predS, y = decode_step_pallas(
                     st6, base1, blkS, extS, predS, par_stack, nk=nk,
                     G=G, S=S, chanbits=chanbits, cb_max=cb_max, kb=kb,
                     wb=wb, rel0=rel0, cache_words=cache_words,
-                    r_rows=r_rows, has_num=num is not None)
+                    r_rows=r_rows, has_num=num is not None,
+                    K=K_launch)
                 return (st6, base1, blkS, predS), y
             st = carry[:_N_RICE - 1]
             blk_base = carry[_N_RICE - 1]
@@ -641,10 +653,14 @@ def decode_channel(words, start_bits, num_samples: int, chanbits,
             # cost, so the default stays 1.
             unroll = max(1, int(os.environ.get("ALACJAX_DECODE_UNROLL",
                                                "1")))
+            # kernel path: K steps per launch -> ceil(n_steps/K) scan
+            # iterations, (K*G, B) samples per iteration (a final
+            # partial launch's extra substeps idle and are truncated)
+            length = -(-n_steps // K_launch)
             final, outs = jax.lax.scan(make_step(nk), carry0, None,
-                                       length=n_steps, unroll=unroll)
-            # outs: (n_steps, G, B) -> (B, n_steps*G) sample order
-            out_tg = outs.reshape(n_steps * G, B)
+                                       length=length, unroll=unroll)
+            # outs: (length, K*G, B) -> (B, length*K*G) sample order
+            out_tg = outs.reshape(-1, B)
             if use_kern:
                 return out_tg.T[:, :S], final[0][0], final[0][5] != 0
             return out_tg.T[:, :S], final[0], final[5]
@@ -701,7 +717,8 @@ def decode_channel_cached(words, start_bits, num_samples: int, chanbits,
     import os
     g = max(1, int(os.environ.get("ALACJAX_DECODE_G", str(g or 8))))
     env_variant = (_decode_kernel_ok()
-                   or os.environ.get("ALACJAX_DECODE_UNROLL", "1") != "1")
+                   or os.environ.get("ALACJAX_DECODE_UNROLL", "1") != "1"
+                   or os.environ.get("ALACJAX_DECODE_KSTEPS", "1") != "1")
     if not env_variant and isinstance(chanbits, (int, np.integer)):
         return _decode_channel_jit(
             words, start_bits, num_samples, int(chanbits), mb0, pb, kb,

@@ -37,8 +37,8 @@ _N_ST = 6  # bitpos, mb, zmode, run_rem, c, err
 
 def _step_kernel(st_ref, base_ref, blk_ref, ext_ref, pred_ref, par_ref,
                  st2_ref, base2_ref, blk2_ref, pred2_ref, y_ref, *,
-                 nk, G, S, chanbits, cb_max, kb, wb, rel0, cache_words,
-                 r_rows, has_num, P):
+                 nk, G, K, S, chanbits, cb_max, kb, wb, rel0,
+                 cache_words, r_rows, has_num, P):
     from .. import fused_decode as fd
     from .cost_pallas import _clz32
 
@@ -46,7 +46,7 @@ def _step_kernel(st_ref, base_ref, blk_ref, ext_ref, pred_ref, par_ref,
           st_ref[3].astype(U32), st_ref[4], st_ref[5] != 0)
     blk_base = base_ref[0]
     blk = tuple(blk_ref[i].astype(U32) for i in range(cache_words))
-    exts = tuple(ext_ref[i].astype(U32) for i in range(8 * r_rows))
+    exts = tuple(ext_ref[i].astype(U32) for i in range(8 * r_rows * K))
     pred = tuple(pred_ref[i] for i in range(P))
     na_eff, den, denhalf = par_ref[0], par_ref[1], par_ref[2]
     mode_nz = par_ref[3] != 0
@@ -55,18 +55,31 @@ def _step_kernel(st_ref, base_ref, blk_ref, ext_ref, pred_ref, par_ref,
     pb_v = par_ref[6].astype(U32)
     num = par_ref[7] if has_num else None
 
-    for g in range(G):
-        st, pred, out = fd._substep_core(
-            st, pred, blk, blk_base, g, nk=nk, S=S, chanbits=chanbits,
-            cb_max=cb_max, pb_v=pb_v, kb=kb, wb=wb, rel0=rel0,
-            cache_words=cache_words, num=num, na_eff=na_eff, den=den,
-            denhalf=denhalf, mode_nz=mode_nz, is0=is0, is31=is31,
-            clz=_clz32)
-        y_ref[g] = out
-
-    st, blk_base2, blk2 = fd._shift_cache(
-        st, blk + exts, blk_base, rel0=rel0, cache_words=cache_words,
-        r_rows=r_rows)
+    # K scan steps per launch: XLA prefetches K*r_rows CONSECUTIVE rows
+    # (the next needed row index only ever advances by the cache shift,
+    # <= r_rows per step, so the K-step window is exactly those rows —
+    # no speculative fetch machinery).  Step k's refill selects its
+    # 8*r_rows ext words by the cumulative rows already consumed.
+    base_start = blk_base
+    for k in range(K):
+        for g in range(G):
+            st, pred, out = fd._substep_core(
+                st, pred, blk, blk_base, g, nk=nk, S=S,
+                chanbits=chanbits, cb_max=cb_max, pb_v=pb_v, kb=kb,
+                wb=wb, rel0=rel0, cache_words=cache_words, num=num,
+                na_eff=na_eff, den=den, denhalf=denhalf,
+                mode_nz=mode_nz, is0=is0, is31=is31, clz=_clz32)
+            y_ref[k * G + g] = out
+        cum = ((blk_base - base_start) >> 3).astype(I32)
+        win = []
+        for i in range(8 * r_rows):
+            w = exts[i]
+            for c in range(1, k * r_rows + 1):
+                w = jnp.where(cum == c, exts[i + 8 * c], w)
+            win.append(w)
+        st, blk_base, blk = fd._shift_cache(
+            st, blk + tuple(win), blk_base, rel0=rel0,
+            cache_words=cache_words, r_rows=r_rows)
 
     st2_ref[0] = st[0]
     st2_ref[1] = st[1].astype(I32)
@@ -74,18 +87,19 @@ def _step_kernel(st_ref, base_ref, blk_ref, ext_ref, pred_ref, par_ref,
     st2_ref[3] = st[3].astype(I32)
     st2_ref[4] = st[4]
     st2_ref[5] = st[5].astype(I32)
-    base2_ref[0] = blk_base2
+    base2_ref[0] = blk_base
     for i in range(cache_words):
-        blk2_ref[i] = blk2[i].astype(I32)
+        blk2_ref[i] = blk[i].astype(I32)
     for i in range(P):
         pred2_ref[i] = pred[i]
 
 
 def decode_step_pallas(st6, base1, blkS, extS, predS, parS, *, nk, G, S,
                        chanbits, cb_max, kb, wb, rel0, cache_words,
-                       r_rows, has_num, interpret: bool | None = None):
-    """One scan step: (6,B)/(1,B)/(cache_words,B)/(8*r_rows,B)/(P,B)
-    i32 stacks -> updated stacks + (G, B) decoded samples."""
+                       r_rows, has_num, K: int = 1,
+                       interpret: bool | None = None):
+    """K scan steps: (6,B)/(1,B)/(cache_words,B)/(8*r_rows*K,B)/(P,B)
+    i32 stacks -> updated stacks + (K*G, B) decoded samples."""
     _, B = st6.shape
     R = B // 128
     P = predS.shape[0]
@@ -100,26 +114,26 @@ def decode_step_pallas(st6, base1, blkS, extS, predS, parS, *, nk, G, S,
                             memory_space=pltpu.VMEM)
 
     kern = functools.partial(
-        _step_kernel, nk=nk, G=G, S=S, chanbits=chanbits, cb_max=cb_max,
-        kb=kb, wb=wb, rel0=rel0, cache_words=cache_words, r_rows=r_rows,
-        has_num=has_num, P=P)
-    n_ext = 8 * r_rows
+        _step_kernel, nk=nk, G=G, K=K, S=S, chanbits=chanbits,
+        cb_max=cb_max, kb=kb, wb=wb, rel0=rel0, cache_words=cache_words,
+        r_rows=r_rows, has_num=has_num, P=P)
+    n_ext = 8 * r_rows * K
     st2, base2, blk2, pred2, y = pl.pallas_call(
         kern,
         in_specs=[spec(_N_ST), spec(1), spec(cache_words), spec(n_ext),
                   spec(P), spec(parS.shape[0])],
         out_specs=[spec(_N_ST), spec(1), spec(cache_words), spec(P),
-                   spec(G)],
+                   spec(K * G)],
         out_shape=[
             jax.ShapeDtypeStruct((_N_ST, R, 128), jnp.int32),
             jax.ShapeDtypeStruct((1, R, 128), jnp.int32),
             jax.ShapeDtypeStruct((cache_words, R, 128), jnp.int32),
             jax.ShapeDtypeStruct((P, R, 128), jnp.int32),
-            jax.ShapeDtypeStruct((G, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((K * G, R, 128), jnp.int32),
         ],
         interpret=interpret,
     )(resh(st6), resh(base1), resh(blkS), resh(extS), resh(predS),
       resh(parS))
     return (st2.reshape(_N_ST, B), base2.reshape(1, B),
             blk2.reshape(cache_words, B), pred2.reshape(P, B),
-            y.reshape(G, B))
+            y.reshape(K * G, B))
