@@ -14,6 +14,15 @@ rest are parked with measured reasons.  Per kernel:
   (the two kernels share the envelope and are tuned as a pair).
 * ``merge.py`` — **PRODUCTION** on TPU: VMEM chunk-compaction for
   bitstream merge; forced either way with ``ALACJAX_PALLAS_MERGE``.
+* ``decode_step.py`` — **PRODUCTION** (round 5): ONE Mosaic call per
+  decode-scan iteration runs the G Rice+FIR substeps + cache shift,
+  while the scan and its per-lane row gather stay in XLA (+19% decode,
+  +12.6% end-to-end vs the pure-XLA step; the whole-loop kernel below
+  lost exactly because it swallowed the gather).  It calls the SAME
+  ``fused_decode._substep_core`` the XLA step uses — no second
+  implementation.  ``ALACJAX_PALLAS_DECODE_STEP=0`` reverts;
+  ``ALACJAX_DECODE_KSTEPS`` amortizes launches (measured: saturates at
+  +1.2% while bloating trace time — default 1).
 * ``decode_pallas.py`` — **PARKED, measured loss**: the K-step decode
   kernel ran 2.4x SLOWER than the stacked XLA decode scan (80.3 ms vs
   33.8 ms decode @B=4096, tools/prof_decode_kernel.py) — the per-lane
